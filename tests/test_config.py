@@ -1,0 +1,72 @@
+"""Config derivation + model-name identity tests (DCSCN.py:108-144)."""
+
+from dcscn_tpu.config import Config, parse_args
+
+
+def test_default_model_name_matches_reference_l12():
+    cfg = Config()
+    assert cfg.name() == "dcscn_L12_F196to48_NIN_A64_PS_R1F32"
+
+
+def test_l7_compact_name():
+    cfg = Config(layers=7, filters=32, min_filters=8, filters_decay_gamma=1.2,
+                 nin_filters=24, nin_filters2=8)
+    assert cfg.name() == "dcscn_L7_F32to8_G1.20_NIN_A24_B8_PS_R1F32"
+
+
+def test_l7_scale_variants():
+    cfg = Config(layers=7, filters=32, min_filters=8, filters_decay_gamma=1.2,
+                 nin_filters=24, nin_filters2=8, scale=4)
+    assert cfg.name() == "dcscn_L7_F32to8_G1.20_Sc4_NIN_A24_B8_PS_R1F32"
+    ds = cfg.replace(depthwise_separable=True)
+    assert ds.name() == "dcscn_L7_F32to8_G1.20_Sc4_NIN_A24_B8_PS_DS_R1F32"
+
+
+def test_l2_tiny_name():
+    cfg = Config(layers=2, filters=4, min_filters=4, use_nin=False,
+                 reconstruct_filters=4)
+    assert cfg.name() == "dcscn_L2_F4to4_PS_R1F4"
+
+
+def test_l8_name():
+    cfg = Config(layers=8, filters=96, min_filters=48)
+    assert cfg.name() == "dcscn_L8_F96to48_NIN_A64_PS_R1F32"
+
+
+def test_explicit_model_name():
+    assert Config(model_name="foo").name() == "dcscn_foo"
+
+
+def test_feature_widths_l12_gamma15():
+    # verified against shipped ckpts (SURVEY.md §2b)
+    cfg = Config()
+    assert cfg.feature_widths() == [196, 166, 148, 133, 120, 108, 97, 86, 76, 66, 57, 48]
+    assert sum(cfg.feature_widths()) == 1301
+
+
+def test_feature_widths_l7_gamma12():
+    cfg = Config(layers=7, filters=32, min_filters=8, filters_decay_gamma=1.2)
+    assert cfg.feature_widths() == [32, 26, 22, 18, 14, 11, 8]
+    assert sum(cfg.feature_widths()) == 131
+
+
+def test_derived_values():
+    cfg = Config()
+    assert cfg.effective_stride_size == 24
+    assert cfg.effective_psnr_border == 2
+    assert cfg.replace(scale=3).effective_psnr_border == 3
+    assert cfg.replace(psnr_calc_border_size=7).effective_psnr_border == 7
+    assert cfg.total_epochs == 63  # 7 stages x 9 epochs (DCSCN.py:90-93)
+    assert cfg.replace(training_images=24001).effective_training_images == 24020
+
+
+def test_cli_parse_roundtrip():
+    cfg, _ = parse_args(["--scale=3", "--layers=7", "--use_nin=False", "--dropout_rate=1.0"])
+    assert cfg.scale == 3 and cfg.layers == 7
+    assert cfg.use_nin is False
+    assert cfg.dropout_rate == 1.0
+
+
+def test_cli_extra_flags():
+    cfg, ns = parse_args(["--file=x.png"], extra_flags=[("file", str, "image.jpg", "target")])
+    assert ns.file == "x.png"
