@@ -126,6 +126,9 @@ class Config:
     # --- TPU-native additions (not present in the reference) ---
     dtype: str = "float32"  # compute dtype: float32 | bfloat16
     batch_format: str = "npz"  # patch store on disk: npz (fast) | bmp (reference-compatible)
+    legacy_skip_c: bool = False  # ver1-style graphs: no 1x1 "C" layer when
+    # use_nin=False (matches the shipped dcscn_L2_* checkpoints, whose Up-PS
+    # consumes the skip-concat directly; inferred by the ckpt converter)
     mesh_data: int = 0  # data-parallel mesh size; 0 = all visible devices
     mesh_spatial: int = 1  # spatial-parallel mesh size for tiled inference
     tile_size: int = 0  # LR tile size for tiled inference; 0 = whole image

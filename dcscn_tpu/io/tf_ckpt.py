@@ -49,6 +49,10 @@ def infer_config_overrides(ckpt_path: str, cfg: Config) -> Config:
     """
     shapes = list_variables(ckpt_path)
     overrides = {}
+    if not cfg.use_nin and "C/conv_W" not in shapes:
+        # ver1-style graph: no 1x1 "C" layer; upsampler consumes the concat
+        overrides["legacy_skip_c"] = True
+        cfg = cfg.replace(legacy_skip_c=True)
     ps2 = "Up-PS2/Up-PS2_CNN/conv_W"
     ps1 = "Up-PS/Up-PS_CNN/conv_W"
     if ps2 in shapes:

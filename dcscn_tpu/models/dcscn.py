@@ -161,6 +161,10 @@ def layer_plan(cfg: Config) -> List[Dict[str, Any]]:
                          bias=True, activator=act, bn=False, dropout=True,
                          separable=cfg.depthwise_separable))
         up_in = cfg.nin_filters + cfg.nin_filters2
+    elif cfg.legacy_skip_c:
+        # ver1-style: upsampler consumes the skip-concat directly (matches
+        # the shipped dcscn_L2_* checkpoints; no "C" variables exist there)
+        up_in = total_features
     else:
         plan.append(dict(name="C", kind="conv", k=1, cin=total_features, cout=cfg.filters,
                          bias=True, activator=act, bn=False, dropout=True,

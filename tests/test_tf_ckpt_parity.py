@@ -1,0 +1,144 @@
+"""Golden parity: converted reference TF checkpoints drive our forward pass
+and must match an independent torch reimplementation of the reference graph
+(DCSCN.py:222-332) on the same weights.
+
+Requires the reference mount at /root/reference and TF for reading ckpts;
+skipped cleanly when unavailable.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from dcscn_tpu.config import Config
+from dcscn_tpu.models import dcscn
+
+REF = "/root/reference/models"
+L7_X2 = os.path.join(REF, "dcscn_L7_F32to8_G1.20_NIN_A24_B8_PS_R1F32.ckpt")
+L7_X4_DS = os.path.join(REF, "dcscn_L7_F32to8_G1.20_Sc4_NIN_A24_B8_PS_DS_R1F32.ckpt")
+L2_X2 = os.path.join(REF, "dcscn_L2_F4to4_PS_R1F4.ckpt")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isfile(L7_X2 + ".index"), reason="reference checkpoints not mounted"
+)
+
+
+def _l7_cfg(scale=2, ds=False):
+    return Config(layers=7, filters=32, min_filters=8, filters_decay_gamma=1.2,
+                  nin_filters=24, nin_filters2=8, scale=scale,
+                  depthwise_separable=ds, dropout_rate=0.8)
+
+
+def _torch_forward(params, cfg, x_np, x2_np):
+    """Independent NHWC forward using torch conv2d, following the reference
+    graph spec directly (not our jax code)."""
+    import torch
+    import torch.nn.functional as F
+
+    def conv(x, w, groups=1):
+        wt = torch.tensor(np.ascontiguousarray(w.transpose(3, 2, 0, 1)))
+        return F.conv2d(x, wt, padding=w.shape[0] // 2, groups=groups)
+
+    def block(x, layer, separable):
+        if separable:
+            dw = layer["dw"]  # [k,k,in,1]
+            k, _, cin, mult = dw.shape
+            # torch depthwise: weight [cin*mult, 1, k, k], groups=cin
+            wd = torch.tensor(np.ascontiguousarray(dw.transpose(2, 3, 0, 1).reshape(cin * mult, 1, k, k)))
+            h = F.conv2d(x, wd, padding=k // 2, groups=cin)
+            h = conv(h, layer["pw"])
+        else:
+            h = conv(x, layer["w"])
+        if "b" in layer:
+            h = h + torch.tensor(layer["b"]).view(1, -1, 1, 1)
+        if "prelu" in layer:
+            a = torch.tensor(layer["prelu"]).view(1, -1, 1, 1)
+            h = torch.relu(h) + a * (h - torch.abs(h)) * 0.5
+        return h
+
+    x = torch.tensor(x_np.transpose(0, 3, 1, 2))
+    x2 = torch.tensor(x2_np.transpose(0, 3, 1, 2))
+
+    taps = []
+    h = x
+    sep = cfg.depthwise_separable
+    for i in range(cfg.layers):
+        h = block(h, params["CNN%d" % (i + 1)], sep)
+        taps.append(h)
+    concat = torch.cat(taps, dim=1)
+
+    if cfg.use_nin:
+        a1 = block(concat, params["A1"], sep)
+        b1 = block(concat, params["B1"], sep)
+        b2 = block(b1, params["B2"], sep)
+        h = torch.cat([b2, a1], dim=1)
+    elif cfg.legacy_skip_c:
+        h = concat
+    else:
+        h = block(concat, params["C"], sep)
+
+    def pixel_shuffle_tf(t, r):
+        # TF depth_to_space on NCHW tensor converted back and forth
+        n, c, hh, ww = t.shape
+        cout = c // (r * r)
+        t = t.reshape(n, r, r, cout, hh, ww)
+        t = t.permute(0, 3, 4, 1, 5, 2)
+        return t.reshape(n, cout, hh * r, ww * r)
+
+    if cfg.pixel_shuffler:
+        h = block(h, params["Up-PS"], sep)
+        s = 2 if cfg.scale == 4 else cfg.scale
+        h = pixel_shuffle_tf(h, s)
+        if cfg.scale == 4:
+            h = block(h, params["Up-PS2"], sep)
+            h = pixel_shuffle_tf(h, 2)
+
+    n_rec = cfg.effective_reconstruct_layers
+    for i in range(n_rec - 1):
+        h = block(h, params["R-CNN%d" % (i + 1)], False)
+    h = block(h, params["R-CNN%d" % n_rec], sep)
+
+    y = h + x2
+    return y.numpy().transpose(0, 2, 3, 1)
+
+
+def _compare(ckpt, cfg):
+    from dcscn_tpu.io import tf_ckpt
+
+    cfg = tf_ckpt.infer_config_overrides(ckpt, cfg)
+    params = tf_ckpt.convert_tf_checkpoint(ckpt, cfg)
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 255, size=(1, 16, 20, 1)).astype(np.float32)
+    x2 = rng.uniform(0, 255, size=(1, 16 * cfg.scale, 20 * cfg.scale, 1)).astype(np.float32)
+
+    ours, _ = dcscn.apply(params, jnp.asarray(x), jnp.asarray(x2), cfg)
+    theirs = _torch_forward(params, cfg, x, x2)
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-4, atol=2e-3)
+    return cfg
+
+
+def test_l7_x2_parity():
+    cfg = _compare(L7_X2, _l7_cfg())
+    assert cfg.pixel_shuffler_filters == 1  # inferred from Up-PS shapes
+
+
+def test_l7_x4_depthwise_parity():
+    _compare(L7_X4_DS, _l7_cfg(scale=4, ds=True))
+
+
+def test_l2_x2_parity():
+    cfg = Config(layers=2, filters=4, min_filters=4, use_nin=False,
+                 reconstruct_filters=4)
+    _compare(L2_X2, cfg)
+
+
+def test_converter_rejects_wrong_config():
+    from dcscn_tpu.io import tf_ckpt
+
+    bad = _l7_cfg().replace(layers=8)
+    with pytest.raises((KeyError, ValueError)):
+        tf_ckpt.convert_tf_checkpoint(L7_X2, bad)
