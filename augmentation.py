@@ -1,0 +1,8 @@
+#!/usr/bin/env python3
+"""Drop-in entry point: python augmentation.py [reference flags]."""
+import sys
+
+from dcscn_tpu.cli.augmentation import main
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

