@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Benchmark: flagship DCSCN v2 (L12 F196to48 NIN A64 PS R1F32) x2 SR
+throughput on one chip, in HR megapixels/second.
+
+Protocol: steady-state jitted forward on device-resident inputs (batch 4 of
+256x256 LR -> 512x512 HR), 3 warmup + 10 timed iterations, float32 (the
+checkpoint-parity dtype; pass --dtype=bfloat16 to measure the fast path).
+
+vs_baseline: ratio to the CPU reference stand-in 0.0792 HR MP/s — measured
+on this machine with an equivalent torch-CPU forward of the same L12 graph
+(the TF1 reference itself cannot run here: its scipy.misc/skimage imports
+no longer exist). BASELINE.json's north star is >=20x that CPU rate.
+
+Prints exactly ONE JSON line.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+BASELINE_CPU_MP_S = 0.0792  # torch-CPU L12 x2 stand-in, measured here
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--lr_size", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--dtype", type=str, default="float32")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from dcscn_tpu.config import Config
+    from dcscn_tpu.models import dcscn
+
+    cfg = Config(dropout_rate=1.0, dtype=args.dtype)
+    cdt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    params = dcscn.init_params(jax.random.PRNGKey(0), cfg)
+
+    @jax.jit
+    def forward(params, x, x2):
+        y, _ = dcscn.apply(params, x, x2, cfg, training=False, compute_dtype=cdt)
+        return y
+
+    n, s, lr = args.batch, cfg.scale, args.lr_size
+    key = jax.random.PRNGKey(1)
+    x = jax.random.uniform(key, (n, lr, lr, 1), jnp.float32, 0, 255)
+    x2 = jax.random.uniform(key, (n, lr * s, lr * s, 1), jnp.float32, 0, 255)
+
+    for _ in range(args.warmup):
+        jax.device_get(forward(params, x, x2))
+
+    # device_get (not block_until_ready) forces execution: the axon relay's
+    # block_until_ready returns before the remote execution completes
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        y = forward(params, x, x2)
+    jax.device_get(y)
+    dt = time.perf_counter() - t0
+
+    hr_megapixels = n * (lr * s) ** 2 / 1e6 * args.iters
+    mp_s = hr_megapixels / dt
+
+    print(json.dumps({
+        "metric": "dcscn_L12_x2_sr_throughput",
+        "value": round(mp_s, 3),
+        "unit": "HR_megapixels/sec",
+        "vs_baseline": round(mp_s / BASELINE_CPU_MP_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

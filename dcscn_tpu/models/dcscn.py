@@ -374,13 +374,18 @@ def apply(
             out = _separable_conv(inp, p["dw"].astype(compute_dtype), p["pw"].astype(compute_dtype))
         else:
             out = _conv(inp, p["w"].astype(compute_dtype))
+        out = out.astype(compute_dtype)  # convs accumulate f32; keep
+        # activations in the compute dtype (bf16 halves HBM traffic)
         if spec["bias"]:
             out = out + p["b"].astype(compute_dtype)
         if spec["bn"] and bn_state is not None:
             out, nb = _batch_norm(out, bn_state[name], training)
             new_bn[name] = nb
         if spec["activator"]:
-            out = _activate(out, spec["activator"], p.get("prelu"))
+            alpha = p.get("prelu")
+            if alpha is not None:
+                alpha = alpha.astype(compute_dtype)
+            out = _activate(out, spec["activator"], alpha)
         if spec["dropout"]:
             out = maybe_dropout(out)
 

@@ -1,0 +1,100 @@
+"""Mesh/sharding tests on the 8-virtual-device CPU mesh: data-parallel
+training equals single-device training; spatially-sharded inference is
+bit-close to the whole-image forward."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dcscn_tpu.config import Config
+from dcscn_tpu.models import dcscn
+from dcscn_tpu.parallel import mesh as mesh_mod
+from dcscn_tpu.parallel import spatial
+from dcscn_tpu.train import trainer as trainer_mod
+
+CFG = Config(layers=2, filters=6, min_filters=4, nin_filters=6, nin_filters2=4,
+             dropout_rate=1.0, batch_num=8, batch_image_size=8)
+
+
+def test_make_mesh_shapes():
+    m = mesh_mod.make_mesh(4, 2)
+    assert m.shape == {"data": 4, "spatial": 2}
+    m2 = mesh_mod.make_mesh(0, 2)
+    assert m2.shape == {"data": 4, "spatial": 2}
+    m3 = mesh_mod.make_mesh()
+    assert m3.shape == {"data": 8, "spatial": 1}
+    with pytest.raises(ValueError):
+        mesh_mod.make_mesh(16, 1)
+
+
+def test_dp_training_matches_single_device():
+    store_np = {
+        "input": np.random.default_rng(0).integers(0, 255, (64, 8, 8, 1), np.uint8),
+        "interp": np.random.default_rng(1).integers(0, 255, (64, 16, 16, 1), np.uint8),
+        "true": np.random.default_rng(2).integers(0, 255, (64, 16, 16, 1), np.uint8),
+    }
+    idx = np.arange(32, dtype=np.int32).reshape(4, 8)
+    # numpy leaves: device_put always copies, so donation can't free them
+    params0 = jax.device_get(dcscn.init_params(jax.random.PRNGKey(0), CFG))
+
+    # single device
+    tr1 = trainer_mod.Trainer(CFG)
+    p1 = jax.device_get(_run_epoch(tr1, params0, store_np, idx))
+
+    # 8-way data parallel
+    m = mesh_mod.make_mesh(8, 1)
+    tr8 = trainer_mod.Trainer(CFG, mesh=m)
+    p8 = jax.device_get(_run_epoch(tr8, params0, store_np, idx))
+
+    for k in p1:
+        for leaf in p1[k]:
+            np.testing.assert_allclose(p1[k][leaf], p8[k][leaf], rtol=2e-5, atol=2e-6)
+
+
+def _run_epoch(tr, params0, store_np, idx):
+    params = tr.replicate(params0) if tr.mesh else jax.device_put(params0)
+    opt = tr.init_opt_state(params)
+    store = tr.shard_store(store_np)
+    idx_dev = tr.shard_indices(idx)
+    scan_fn = tr.epoch_scan()
+    params, _, _, _ = scan_fn(params, opt, None, store, idx_dev, jax.random.PRNGKey(3))
+    return params
+
+
+@pytest.mark.parametrize("scale", [2, 3])
+def test_spatial_sharded_forward_exact(scale):
+    cfg = CFG.replace(scale=scale)
+    params = dcscn.init_params(jax.random.PRNGKey(1), cfg)
+
+    m = mesh_mod.make_mesh(1, 8)
+    halo = dcscn.receptive_field_lr(cfg)
+    h = 8 * max(2 * halo, 16)  # divisible by 8, bands >= 2*halo
+    w = 40
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 255, (h, w, 1)).astype(np.float32)
+    from dcscn_tpu.ops import resize as resize_ops
+
+    x2 = resize_ops.resize_image(x, scale).astype(np.float32)
+
+    whole, _ = dcscn.apply(params, jnp.asarray(x)[None], jnp.asarray(x2)[None], cfg)
+    whole = np.asarray(whole[0])
+
+    fn = spatial.spatial_forward_fn(cfg, m, halo=halo)
+    sharded = np.asarray(fn(params, jnp.asarray(x), jnp.asarray(x2)))
+
+    np.testing.assert_allclose(sharded, whole, rtol=1e-5, atol=5e-4)
+
+
+def test_spatial_forward_uses_all_devices():
+    cfg = CFG
+    params = dcscn.init_params(jax.random.PRNGKey(1), cfg)
+    m = mesh_mod.make_mesh(1, 8)
+    halo = dcscn.receptive_field_lr(cfg)
+    h = 8 * 2 * halo
+    x = np.zeros((h, 32, 1), np.float32)
+    x2 = np.zeros((h * 2, 64, 1), np.float32)
+    fn = spatial.spatial_forward_fn(cfg, m, halo=halo)
+    out = fn(params, jnp.asarray(x), jnp.asarray(x2))
+    assert out.shape == (h * 2, 64, 1)
