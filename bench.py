@@ -24,7 +24,7 @@ BASELINE_CPU_MP_S = 0.0792  # torch-CPU L12 x2 stand-in, measured here
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--lr_size", type=int, default=256)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=3)

@@ -168,10 +168,12 @@ class SuperResolution:
 
     def save_model(self, name: str = "", trial: int = 0, output_log: bool = False):
         base = self._ckpt_base(name, trial)
+        import dataclasses
+
         ckpt_io.save_params(
             base + ".npz",
             {"params": self.params, "bn_state": self.bn_state},
-            meta={"model_name": self.name, "config": str(self.cfg)},
+            meta={"model_name": self.name, "config": dataclasses.asdict(self.cfg)},
         )
         msg = "Model saved [%s]." % base
         logging.info(msg) if output_log else print(msg)

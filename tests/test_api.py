@@ -1,0 +1,139 @@
+"""Facade integration tests: init/save/load/do_for_evaluate/export round
+trips on tiny models and images (CPU)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dcscn_tpu import api
+from dcscn_tpu.config import Config
+from dcscn_tpu.utils import imaging
+
+TINY = dict(layers=2, filters=4, min_filters=4, use_nin=False, reconstruct_filters=4,
+            self_ensemble=1, dropout_rate=1.0, save_weights=False, enable_log=False)
+
+
+@pytest.fixture
+def env(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(0)
+    os.makedirs("data/tiny", exist_ok=True)
+    for i in range(2):
+        img = rng.integers(0, 255, (32, 40, 3), dtype=np.uint8)
+        imaging.save_image("data/tiny/img%d.png" % i, img, print_console=False)
+    return tmp_path
+
+
+def _model(**kw):
+    cfg = Config(**{**TINY, **kw})
+    m = api.SuperResolution(cfg)
+    m.build_graph()
+    m.init_all_variables()
+    return m
+
+
+def test_save_load_roundtrip(env):
+    m = _model()
+    m.save_model()
+    out1 = m.do(np.full((8, 8, 1), 100.0, np.float32))
+
+    m2 = _model()
+    m2.load_model()
+    out2 = m2.do(np.full((8, 8, 1), 100.0, np.float32))
+    np.testing.assert_allclose(out1, out2, atol=1e-6)
+
+
+def test_trial_suffix_naming(env):
+    m = _model()
+    m.save_model(trial=2)
+    assert os.path.isfile("models/%s_2.ckpt.npz" % m.name)
+
+
+def test_missing_model_exits(env):
+    m = _model()
+    with pytest.raises(SystemExit):
+        m.load_model("nonexistent_model")
+
+
+def test_do_for_evaluate(env):
+    m = _model()
+    psnr, ssim = m.do_for_evaluate("data/tiny/img0.png")
+    assert np.isfinite(psnr) and 0 < ssim <= 1
+
+
+def test_do_for_evaluate_with_output(env):
+    m = _model(output_dir="output")
+    psnr, ssim = m.do_for_evaluate_with_output("data/tiny/img0.png", "output")
+    assert np.isfinite(psnr)
+    base = "output/" + m.name + "/data/tiny/"
+    assert os.path.isfile(base + "img0_result.png")
+    assert os.path.isfile(base + "img0_result_c.png")
+    assert os.path.isfile(base + "img0_loss.png")
+
+
+def test_evaluate_bicubic_control(env):
+    m = _model()
+    psnr, ssim = m.evaluate_bicubic("data/tiny/img0.png")
+    assert np.isfinite(psnr)
+
+
+def test_do_for_file_outputs(env):
+    m = _model()
+    m.do_for_file("data/tiny/img1.png", "output")
+    base = "output/" + m.name + "/"
+    for suffix in ("", "_bicubic", "_bicubic_y", "_result_y", "_result"):
+        assert os.path.isfile(base + "img1" + suffix + ".png"), suffix
+
+
+def test_export_and_frozen_inference(env):
+    m = _model()
+    m.save_model()
+    from dcscn_tpu.io import export
+
+    export.export_model("model_to_freeze/frozen.npz", m.params, m.cfg, m.bn_state)
+    out1 = m.do(np.full((8, 8, 1), 77.0, np.float32))
+
+    m2 = api.SuperResolution(Config(**TINY))
+    m2.load_graph("model_to_freeze/frozen.npz")
+    out2 = m2.do(np.full((8, 8, 1), 77.0, np.float32))
+    np.testing.assert_allclose(out1, out2, atol=1e-6)
+
+
+def test_export_folds_batch_norm(env):
+    import jax
+    import jax.numpy as jnp
+
+    from dcscn_tpu.io import export
+    from dcscn_tpu.models import dcscn
+
+    cfg = Config(**{**TINY, "batch_norm": True})
+    params = dcscn.init_params(jax.random.PRNGKey(0), cfg)
+    bn = dcscn.init_bn_state(cfg)
+    # nontrivial running stats
+    for name in bn:
+        bn[name]["mean"] = jnp.full_like(bn[name]["mean"], 0.3)
+        bn[name]["var"] = jnp.full_like(bn[name]["var"], 2.0)
+        bn[name]["scale"] = jnp.full_like(bn[name]["scale"], 1.5)
+
+    x = jnp.asarray(np.random.default_rng(1).uniform(0, 255, (1, 8, 8, 1)), jnp.float32)
+    x2 = jnp.zeros((1, 16, 16, 1), jnp.float32)
+    y_bn, _ = dcscn.apply(params, x, x2, cfg, training=False, bn_state=bn)
+
+    folded = export.fold_batch_norm(params, bn, cfg)
+    cfg_nobn = cfg.replace(batch_norm=False)
+    y_folded, _ = dcscn.apply(folded, x, x2, cfg_nobn, training=False)
+    np.testing.assert_allclose(np.asarray(y_bn), np.asarray(y_folded), rtol=1e-4, atol=1e-3)
+
+
+def test_reference_train_loop_smoke(env):
+    """A few steps of the reference-compatible per-step loop."""
+    m = _model(batch_num=2, batch_image_size=8, training_images=4)
+    m.load_dynamic_datasets("data/tiny", 8)
+    m.build_optimizer()
+    m.init_epoch_index()
+    for _ in range(3):
+        m.build_input_batch()
+        m.train_batch()
+    assert m.step == 3
+    assert np.isfinite(m.training_loss_sum)
