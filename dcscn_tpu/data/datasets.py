@@ -116,15 +116,14 @@ class PatchDataset:
             config.write(f)
 
         if self.store_format == "bmp":
-            for sub in (INPUT_IMAGE_DIR, INTERPOLATED_IMAGE_DIR, TRUE_IMAGE_DIR):
-                files.make_dir(os.path.join(self.batch_dir, sub))
-            for i in range(self.count):
-                imaging.save_image(os.path.join(self.batch_dir, INPUT_IMAGE_DIR, "%06d.bmp" % i),
-                                   self.input_images[i], print_console=False)
-                imaging.save_image(os.path.join(self.batch_dir, INTERPOLATED_IMAGE_DIR, "%06d.bmp" % i),
-                                   self.input_interpolated_images[i], print_console=False)
-                imaging.save_image(os.path.join(self.batch_dir, TRUE_IMAGE_DIR, "%06d.bmp" % i),
-                                   self.true_images[i], print_console=False)
+            from dcscn_tpu.data import native
+
+            for sub, arr in ((INPUT_IMAGE_DIR, self.input_images),
+                             (INTERPOLATED_IMAGE_DIR, self.input_interpolated_images),
+                             (TRUE_IMAGE_DIR, self.true_images)):
+                d = os.path.join(self.batch_dir, sub)
+                files.make_dir(d)
+                native.write_bmp_batch(d, arr)  # threaded C++ when built
         else:
             np.savez(os.path.join(self.batch_dir, "batch_images.npz"),
                      input=self.input_images, interpolated=self.input_interpolated_images,
@@ -173,19 +172,20 @@ class PatchDataset:
             self.count = int(self.input_images.shape[0])
             print("Loaded %d patches from npz store." % self.count)
             return
-        # reference-built BMP store
+        # reference-built BMP store (threaded C++ reader when built)
+        from dcscn_tpu.data import native
+
         self.load_batch_counts()
         b, s = self.batch_image_size, self.scale
-        self.input_images = np.zeros((self.count, b, b, 1), np.uint8)
-        self.input_interpolated_images = np.zeros((self.count, b * s, b * s, 1), np.uint8)
-        self.true_images = np.zeros((self.count, b * s, b * s, 1), np.uint8)
-        for i in range(self.count):
-            for arr, sub in ((self.input_images, INPUT_IMAGE_DIR),
-                             (self.input_interpolated_images, INTERPOLATED_IMAGE_DIR),
-                             (self.true_images, TRUE_IMAGE_DIR)):
-                img = imaging.load_image(
-                    os.path.join(self.batch_dir, sub, "%06d.bmp" % i), print_console=False)
-                arr[i] = img.reshape(arr.shape[1], arr.shape[2], 1)
+        self.input_images = native.read_bmp_batch(
+            os.path.join(self.batch_dir, INPUT_IMAGE_DIR), self.count, b)
+        self.input_interpolated_images = native.read_bmp_batch(
+            os.path.join(self.batch_dir, INTERPOLATED_IMAGE_DIR), self.count, b * s)
+        self.true_images = native.read_bmp_batch(
+            os.path.join(self.batch_dir, TRUE_IMAGE_DIR), self.count, b * s)
+        if any(a is None for a in (self.input_images, self.input_interpolated_images,
+                                   self.true_images)):
+            raise IOError("failed to read bmp store under %s" % self.batch_dir)
         print("Loaded %d patches from bmp store." % self.count)
 
     def release_batch_images(self) -> None:
