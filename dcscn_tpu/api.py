@@ -109,9 +109,16 @@ class SuperResolution:
     def build_optimizer(self):
         from dcscn_tpu.train import trainer as trainer_mod
 
-        self._trainer = trainer_mod.Trainer(self.cfg)
-        logging.info("Total params: %s" % "{:,}".format(
-            dcscn.param_count(self.params) if self.params is not None else 0))
+        mesh = None
+        n_dev = len(jax.devices())
+        want = self.cfg.mesh_data if self.cfg.mesh_data > 0 else n_dev
+        if want > 1 and n_dev > 1:
+            from dcscn_tpu.parallel import mesh as mesh_mod
+
+            mesh = mesh_mod.make_mesh(min(want, n_dev), 1)
+            logging.info("Data-parallel mesh: %d devices" % mesh.shape["data"])
+        self._trainer = trainer_mod.Trainer(self.cfg, mesh=mesh)
+        self.print_num_of_total_parameters()
 
     def build_summary_saver(self, with_saver: bool = True):
         if self.cfg.enable_log:
@@ -525,6 +532,61 @@ class SuperResolution:
             logging.info(status)
         else:
             print(status)
+
+    def print_num_of_total_parameters(self, output_detail: bool = False,
+                                      output_to_logging: bool = True):
+        """Parameter-count report (reference: helper/utilty.py:569-592)."""
+        if self.params is None:
+            return
+        parts = []
+        total = 0
+        count = 0
+        for lname, layer in self.params.items():
+            for k, v in layer.items():
+                n = int(np.prod(np.shape(v)))
+                total += n
+                count += 1
+                parts.append("%s/%s %s=%d" % (lname, k, tuple(np.shape(v)), n))
+        line = "Total %d variables, %s params" % (count, "{:,}".format(total))
+        if output_to_logging:
+            if output_detail:
+                logging.info(", ".join(parts))
+            logging.info(line)
+        else:
+            if output_detail:
+                print(", ".join(parts))
+            print(line)
+
+    # full resumable training state (params+optimizer+schedule) — the
+    # reference saves only weights and restarts the LR schedule (SURVEY §5)
+    def save_train_state(self, trial: int = 0):
+        base = self._ckpt_base("", trial) + ".train.npz"
+        tmp = base + ".tmp.npz"
+        ckpt_io.save_train_state(
+            tmp, self.params, self.opt_state, bn_state=self.bn_state,
+            step=self.step, epochs_completed=self.epochs_completed,
+            epochs_in_stage=self.epochs_completed_in_stage, lr=self.lr)
+        os.replace(tmp, base)  # atomic: a crash never corrupts the ckpt
+        if os.path.exists(tmp + ".json"):
+            os.replace(tmp + ".json", base + ".json")
+
+    def load_train_state(self, trial: int = 0) -> bool:
+        base = self._ckpt_base("", trial) + ".train.npz"
+        if not os.path.isfile(base):
+            return False
+        trainer = self._ensure_trainer()
+        template = trainer.init_opt_state(self.params)
+        params, opt_state, bn_state, meta = ckpt_io.load_train_state(base, template)
+        self.params, self.opt_state = params, opt_state
+        self.bn_state = bn_state
+        self.step = int(meta.get("step", 0))
+        self.epochs_completed = int(meta.get("epochs_completed", 0))
+        self.epochs_completed_in_stage = int(meta.get("epochs_in_stage", 0))
+        self.lr = float(meta.get("lr", self.cfg.initial_lr))
+        self._engine = None
+        logging.info("Training state resumed [ %s ] (epoch %d, step %d, lr %g)"
+                     % (base, self.epochs_completed, self.step, self.lr))
+        return True
 
     def print_weight_variables(self):
         """Dump weight/bias tensors (reference: DCSCN.py:526-531)."""

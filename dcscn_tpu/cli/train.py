@@ -74,10 +74,16 @@ def train(model: api.SuperResolution, cfg, trial: int, reference_loop: bool = Fa
         raise SystemExit("Can't load images from [%s]" % (cfg.data_dir + "/" + cfg.test_dataset))
 
     model.init_all_variables(seed=trial)
-    if cfg.load_model_name != "":
+    model.init_train_step()
+    resumed = False
+    if cfg.load_model_name == "resume":
+        # full resume: params + optimizer + LR schedule position
+        resumed = model.load_train_state(trial)
+        if not resumed:
+            logging.info("no training state to resume; starting fresh")
+    elif cfg.load_model_name != "":
         model.load_model(cfg.load_model_name, output_log=True)
 
-    model.init_train_step()
     model.init_epoch_index()
     model_updated = True
 
@@ -118,6 +124,7 @@ def _train_loop_steps(model, cfg, trial, test_filenames, steps_per_epoch):
             model.print_status(psnr, ssim, log=True)
             model.log_to_tensorboard(test_filenames[0], psnr)
             model.save_model(trial=trial)
+            model.save_train_state(trial=trial)
             model.update_epoch_and_lr()
             model.init_epoch_index()
     return psnr, ssim
@@ -152,6 +159,7 @@ def _train_loop_scan(model, cfg, trial, test_filenames, steps_per_epoch):
         model.print_status(psnr, ssim, log=True)
         model.log_to_tensorboard(test_filenames[0], psnr)
         model.save_model(trial=trial)
+        model.save_train_state(trial=trial)
         model.update_epoch_and_lr()
     return psnr, ssim
 
