@@ -352,6 +352,11 @@ def apply(
     concat = None
     a1 = None
     drop_i = 0
+    # fused-NIN path: 1x1 convs over the skip concat evaluated as
+    # accumulated per-tap matmuls — the [N,H,W,sum(widths)] concat tensor is
+    # never materialized (it is pure HBM traffic: written once, read by both
+    # A1 and B1). Only for dense 1x1 consumers.
+    fuse_concat = cfg.fused_nin and not cfg.depthwise_separable and not cfg.legacy_skip_c
 
     def maybe_dropout(t):
         nonlocal drop_i
@@ -369,11 +374,26 @@ def apply(
             h = _conv_transpose(h, p["w"].astype(compute_dtype), spec["tconv_scale"])
             continue
 
-        inp = concat if spec.get("input") == "concat" else h
-        if spec["separable"]:
-            out = _separable_conv(inp, p["dw"].astype(compute_dtype), p["pw"].astype(compute_dtype))
+        if spec.get("input") == "concat" and fuse_concat:
+            # sum_i tap_i @ W[offset_i : offset_i + c_i]  (1x1 conv == matmul)
+            w = p["w"].astype(compute_dtype)[0, 0]  # [total_ch, out]
+            out = None
+            off = 0
+            for tap in taps:
+                ci = tap.shape[-1]
+                part = jax.lax.dot_general(
+                    tap, w[off : off + ci],
+                    dimension_numbers=(((3,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                out = part if out is None else out + part
+                off += ci
         else:
-            out = _conv(inp, p["w"].astype(compute_dtype))
+            inp = concat if spec.get("input") == "concat" else h
+            if spec["separable"]:
+                out = _separable_conv(inp, p["dw"].astype(compute_dtype), p["pw"].astype(compute_dtype))
+            else:
+                out = _conv(inp, p["w"].astype(compute_dtype))
         out = out.astype(compute_dtype)  # convs accumulate f32; keep
         # activations in the compute dtype (bf16 halves HBM traffic)
         if spec["bias"]:
@@ -395,8 +415,9 @@ def apply(
         if spec.get("tap"):
             taps.append(out)
             if len(taps) == cfg.layers:
-                concat = jnp.concatenate(taps, axis=-1)
-                h = concat
+                if not fuse_concat:
+                    concat = jnp.concatenate(taps, axis=-1)
+                    h = concat
                 continue
         if name == "A1":
             a1 = out
