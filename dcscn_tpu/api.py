@@ -588,11 +588,16 @@ class SuperResolution:
                      % (base, self.epochs_completed, self.step, self.lr))
         return True
 
-    def print_weight_variables(self):
-        """Dump weight/bias tensors (reference: DCSCN.py:526-531)."""
+    def print_weight_variables(self, max_values: int = 512):
+        """Dump weight/bias tensor values (reference: DCSCN.py:526-531,
+        helper/utilty.py:539-558)."""
         for lname, layer in (self.params or {}).items():
             for k, v in layer.items():
-                print("Tensor[%s/%s] shape=%s" % (lname, k, tuple(np.shape(v))))
+                arr = np.asarray(v)
+                print("Tensor[%s/%s] shape=%s" % (lname, k, tuple(arr.shape)))
+                flat = arr.reshape(-1)
+                print(" ".join("%2.3f" % x for x in flat[:max_values])
+                      + (" ..." if flat.size > max_values else ""))
 
     def copy_log_to_archive(self, archive_name: str):
         import shutil

@@ -188,6 +188,23 @@ class PatchDataset:
             raise IOError("failed to read bmp store under %s" % self.batch_dir)
         print("Loaded %d patches from bmp store." % self.count)
 
+    def load_batch_image_from_disk(self, image_number: int):
+        """Stream one triple from the on-disk store without loading all
+        (reference: helper/loader.py:235-243). Works for both store formats."""
+        from dcscn_tpu.data import native
+
+        image_number = image_number % self.count
+        npz = os.path.join(self.batch_dir, "batch_images.npz")
+        if os.path.isfile(npz):
+            with np.load(npz, mmap_mode="r") as data:
+                return (data["input"][image_number], data["interpolated"][image_number],
+                        data["true"][image_number])
+        triple = []
+        for sub in (INPUT_IMAGE_DIR, INTERPOLATED_IMAGE_DIR, TRUE_IMAGE_DIR):
+            img = native.read_bmp(os.path.join(self.batch_dir, sub, "%06d.bmp" % image_number))
+            triple.append(img[..., None])
+        return tuple(triple)
+
     def release_batch_images(self) -> None:
         self.input_images = None
         self.input_interpolated_images = None

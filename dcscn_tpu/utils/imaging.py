@@ -65,6 +65,29 @@ def save_image(filename: str, image: np.ndarray, print_console: bool = True) -> 
         print("Saved [%s]" % filename)
 
 
+def load_image_data(
+    filename: str,
+    width: int = 0,
+    height: int = 0,
+    channels: int = 0,
+    alignment: int = 0,
+    print_console: bool = True,
+) -> np.ndarray:
+    """Load raw .npy image data (reference: helper/utilty.py:269-283)."""
+    if not os.path.isfile(filename):
+        raise LoadError("File not found")
+    image = np.load(filename)
+    if (width != 0 and image.shape[1] != width) or (height != 0 and image.shape[0] != height):
+        raise LoadError("Attributes mismatch")
+    if channels != 0 and image.shape[2] != channels:
+        raise LoadError("Attributes mismatch")
+    if alignment != 0 and ((image.shape[1] % alignment) != 0 or (image.shape[0] % alignment) != 0):
+        raise LoadError("Attributes mismatch")
+    if print_console:
+        print("Loaded [%s]: %d x %d x %d" % (filename, image.shape[1], image.shape[0], image.shape[2]))
+    return image
+
+
 def save_image_data(filename: str, image: np.ndarray) -> None:
     directory = os.path.dirname(filename)
     if directory != "" and not os.path.exists(directory):
