@@ -126,10 +126,11 @@ class Config:
     # --- TPU-native additions (not present in the reference) ---
     dtype: str = "float32"  # compute dtype: float32 | bfloat16
     batch_format: str = "npz"  # patch store on disk: npz (fast) | bmp (reference-compatible)
-    fused_nin: bool = True  # compute the 1x1 reconstruction convs as
+    fused_nin: bool = False  # compute the 1x1 reconstruction convs as
     # accumulated per-tap matmuls instead of materializing the skip-concat
-    # tensor (saves ~3x the concat's HBM traffic; bit-equal up to f32
-    # summation order). Dense convs only; separable mode keeps the concat.
+    # tensor (bit-equal up to f32 summation order; dense convs only).
+    # Measured on v5e: XLA's concat pipeline wins at L12 shapes (33.7 vs
+    # 28.1 MP/s), so this stays opt-in for bandwidth-bound configs.
     legacy_skip_c: bool = False  # ver1-style graphs: no 1x1 "C" layer when
     # use_nin=False (matches the shipped dcscn_L2_* checkpoints, whose Up-PS
     # consumes the skip-concat directly; inferred by the ckpt converter)

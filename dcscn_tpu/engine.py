@@ -207,27 +207,33 @@ class InferenceEngine:
         win_h = min(h, interior + 2 * halo)
         win_w = min(w, interior + 2 * halo)
 
-        wins = []
-        wins2 = []
         slots = []
+        origins = []
         for ws_r, a_r, b_r in rows:
             for ws_c, a_c, b_c in cols:
-                wins.append(x[ws_r : ws_r + win_h, ws_c : ws_c + win_w, :])
-                wins2.append(
-                    x2[s * ws_r : s * (ws_r + win_h), s * ws_c : s * (ws_c + win_w), :]
-                )
+                origins.append((ws_r, ws_c))
                 slots.append((ws_r, a_r, b_r, ws_c, a_c, b_c))
 
-        batch = np.stack(wins).astype(np.float32)
-        batch2 = np.stack(wins2).astype(np.float32)
-        n = batch.shape[0]
-        # bucket the tile count so every image reuses one compiled program
+        n = len(slots)
+        # bucket the tile count so every image reuses one compiled program;
+        # padded slots re-gather window (0, 0) (in-bounds, discarded)
         n_pad = _bucket(n)
-        if n_pad != n:
-            batch = np.concatenate([batch, np.zeros((n_pad - n,) + batch.shape[1:], np.float32)])
-            batch2 = np.concatenate([batch2, np.zeros((n_pad - n,) + batch2.shape[1:], np.float32)])
+        origin_arr = np.zeros((n_pad, 2), np.int32)
+        origin_arr[:n] = np.asarray(origins, np.int32)
+
+        # windows are assembled ON DEVICE: one linear image upload, then a
+        # Pallas HBM->VMEM gather (XLA dynamic_slice fallback off-TPU)
+        from dcscn_tpu.ops import pallas_kernels
+
+        x_dev = jnp.asarray(x, jnp.float32)
+        x2_dev = jnp.asarray(x2, jnp.float32)
+        rows_i = jnp.asarray(origin_arr[:, 0])
+        cols_i = jnp.asarray(origin_arr[:, 1])
+        batch = pallas_kernels.gather_windows(x_dev, rows_i, cols_i, win_h, win_w)
+        batch2 = pallas_kernels.gather_windows(
+            x2_dev, rows_i * s, cols_i * s, win_h * s, win_w * s)
         fn = self._get_fn(("fwd", n_pad, win_h, win_w), lambda: self._forward_fn(1))
-        out = np.asarray(fn(self.params, jnp.asarray(batch), jnp.asarray(batch2)))[:n]
+        out = np.asarray(fn(self.params, batch, batch2))[:n]
 
         result = np.zeros((h * s, w * s, 1), dtype=np.float32)
         for tile_out, (ws_r, a_r, b_r, ws_c, a_c, b_c) in zip(out, slots):
