@@ -81,6 +81,12 @@ class SuperResolution:
 
             init_compilation_cache(cfg.jit_cache_dir)
 
+        # device pinning (the reference pins one GPU by id,
+        # helper/tf_graph.py:65-71); with a single TPU this is a no-op
+        devices = jax.devices()
+        if 0 < cfg.gpu_device_id < len(devices):
+            jax.config.update("jax_default_device", devices[cfg.gpu_device_id])
+
         # environment setup (reference: DCSCN.py:96-102)
         files.make_dir(cfg.checkpoint_dir)
         files.make_dir(cfg.graph_dir)
@@ -112,10 +118,14 @@ class SuperResolution:
         mesh = None
         n_dev = len(jax.devices())
         want = self.cfg.mesh_data if self.cfg.mesh_data > 0 else n_dev
-        if want > 1 and n_dev > 1:
+        want = min(want, n_dev)
+        # the minibatch shards over 'data': mesh size must divide batch_num
+        while want > 1 and self.cfg.batch_num % want != 0:
+            want -= 1
+        if want > 1:
             from dcscn_tpu.parallel import mesh as mesh_mod
 
-            mesh = mesh_mod.make_mesh(min(want, n_dev), 1)
+            mesh = mesh_mod.make_mesh(want, 1)
             logging.info("Data-parallel mesh: %d devices" % mesh.shape["data"])
         self._trainer = trainer_mod.Trainer(self.cfg, mesh=mesh)
         self.print_num_of_total_parameters()

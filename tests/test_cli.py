@@ -1,0 +1,84 @@
+"""CLI smoke tests on tiny data (CPU): evaluate / sr / convert_y /
+augmentation / train drive end-to-end with reference flag surfaces."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dcscn_tpu.utils import imaging
+
+TINY_FLAGS = ["--layers=2", "--filters=4", "--min_filters=4", "--use_nin=False",
+              "--reconstruct_filters=4", "--self_ensemble=1", "--dropout_rate=1.0",
+              "--save_weights=False", "--enable_log=False"]
+
+
+@pytest.fixture
+def env(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(0)
+    os.makedirs("data/tinyset", exist_ok=True)
+    for i in range(2):
+        img = rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)
+        imaging.save_image("data/tinyset/img%d.png" % i, img, print_console=False)
+    return tmp_path
+
+
+def _make_ckpt(name_flags):
+    """Init + save a model so evaluate/sr can load it."""
+    from dcscn_tpu import api
+    from dcscn_tpu.config import parse_args
+
+    cfg, _ = parse_args(name_flags)
+    m = api.SuperResolution(cfg)
+    m.init_all_variables()
+    m.save_model()
+    return m.name
+
+
+def test_evaluate_cli(env, capsys):
+    _make_ckpt(TINY_FLAGS)
+    from dcscn_tpu.cli import evaluate
+
+    evaluate.main(TINY_FLAGS + ["--test_dataset=tinyset", "--save_results=False",
+                                "--compute_bicubic=True", "--initialize_tf_log=False"])
+
+
+def test_sr_cli(env):
+    name = _make_ckpt(TINY_FLAGS)
+    from dcscn_tpu.cli import sr
+
+    sr.main(TINY_FLAGS + ["--file=data/tinyset/img0.png", "--initialize_tf_log=False"])
+    assert os.path.isfile("output/%s/img0_result.png" % name)
+
+
+def test_convert_y_cli(env):
+    from dcscn_tpu.cli import convert_y
+
+    convert_y.main(["--dataset=tinyset"])
+    assert os.path.isfile("data/tinyset_y/img0.bmp")
+
+
+def test_augmentation_cli(env):
+    from dcscn_tpu.cli import augmentation
+
+    augmentation.main(["--dataset=tinyset", "--augment_level=4"])
+    files = os.listdir("data/tinyset_4")
+    assert len(files) == 2 * 4  # original + 3 variants per image
+
+
+def test_train_cli_one_stage(env):
+    """Full train CLI on a tiny schedule (2 epochs) with prebuilt batches."""
+    from dcscn_tpu.cli import train
+
+    train.main(TINY_FLAGS + [
+        "--dataset=tinyset", "--test_dataset=tinyset", "--build_batch=True",
+        "--batch_image_size=16", "--batch_num=2", "--training_images=4",
+        "--initial_lr=0.002", "--end_lr=0.0015", "--lr_decay_epoch=2",
+        "--initialize_tf_log=False",
+    ])
+    # trained checkpoint + resumable state + output artifacts exist
+    names = os.listdir("models")
+    assert any(n.endswith(".ckpt.npz") for n in names)
+    assert any(n.endswith(".train.npz") for n in names)
+    assert os.path.isdir("output")
