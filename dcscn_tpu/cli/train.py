@@ -93,10 +93,12 @@ def train(model: api.SuperResolution, cfg, trial: int, reference_loop: bool = Fa
 
     steps_per_epoch = model.training_images // model.batch_num
 
-    if reference_loop or not hasattr(model.train, "as_store"):
+    if reference_loop:
         psnr, ssim = _train_loop_steps(model, cfg, trial, test_filenames, steps_per_epoch)
-    else:
+    elif hasattr(model.train, "as_store"):
         psnr, ssim = _train_loop_scan(model, cfg, trial, test_filenames, steps_per_epoch)
+    else:
+        psnr, ssim = _train_loop_dynamic(model, cfg, trial, test_filenames, steps_per_epoch)
 
     model.end_train_step()
     model.save_model(trial=trial, output_log=True)
@@ -161,6 +163,55 @@ def _train_loop_scan(model, cfg, trial, test_filenames, steps_per_epoch):
         model.save_model(trial=trial)
         model.save_train_state(trial=trial)
         model.update_epoch_and_lr()
+    return psnr, ssim
+
+
+def _train_loop_dynamic(model, cfg, trial, test_filenames, steps_per_epoch):
+    """Dynamic-sampling fast path: host thread pool prefetches random-crop
+    batches while the device runs color/flip-free bicubic transforms + the
+    train step (the reference does all of this serially per sample,
+    helper/loader.py:310-355 / train.py:80-81)."""
+    from dcscn_tpu.data.datasets import device_transform_fn
+    from dcscn_tpu.train.trainer import Batch
+
+    trainer = model._ensure_trainer()
+    step_fn = trainer.train_step()
+    transform = device_transform_fn(cfg.batch_image_size, cfg.scale, cfg.max_value)
+    model.train.start_prefetch(seed=trial)
+    psnr = ssim = 0.0
+
+    import jax
+
+    from dcscn_tpu.ops import metrics as metrics_ops
+
+    while model.lr > cfg.end_lr:
+        model.opt_state = trainer.set_lr(model.opt_state, model.lr)
+        mses = []
+        losses = []
+        for _ in range(steps_per_epoch):
+            crops = model.train.next_crop_batch()
+            x, x2, y = transform(crops)
+            rng = jax.random.PRNGKey(model.step)
+            model.params, model.opt_state, model.bn_state, m = step_fn(
+                model.params, model.opt_state, model.bn_state, Batch(x, x2, y), rng)
+            mses.append(m.mse)
+            losses.append(m.image_loss)
+            model.step += 1
+        model._engine = None
+        model.training_step = steps_per_epoch
+        model.training_loss_sum = float(np.sum([np.asarray(v) for v in losses]))
+        model.training_psnr_sum = float(sum(
+            metrics_ops.get_psnr(float(np.asarray(v)), max_value=model.max_value)
+            for v in mses))
+        model.epochs_completed += 1
+
+        psnr, ssim = model.evaluate(test_filenames)
+        model.print_status(psnr, ssim, log=True)
+        model.log_to_tensorboard(test_filenames[0], psnr)
+        model.save_model(trial=trial)
+        model.save_train_state(trial=trial)
+        model.update_epoch_and_lr()
+    model.train.stop_prefetch()
     return psnr, ssim
 
 

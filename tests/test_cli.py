@@ -67,6 +67,19 @@ def test_augmentation_cli(env):
     assert len(files) == 2 * 4  # original + 3 variants per image
 
 
+def test_train_cli_dynamic_fast_path(env):
+    """Dynamic dataset: prefetch threads + device transform + train step."""
+    from dcscn_tpu.cli import train
+
+    train.main(TINY_FLAGS + [
+        "--dataset=tinyset", "--test_dataset=tinyset", "--build_batch=False",
+        "--batch_image_size=16", "--batch_num=2", "--training_images=4",
+        "--initial_lr=0.002", "--end_lr=0.0015", "--lr_decay_epoch=1",
+        "--initialize_tf_log=False",
+    ])
+    assert any(n.endswith(".ckpt.npz") for n in os.listdir("models"))
+
+
 def test_train_cli_one_stage(env):
     """Full train CLI on a tiny schedule (2 epochs) with prebuilt batches."""
     from dcscn_tpu.cli import train
