@@ -1,0 +1,103 @@
+"""Profiler trace smoke + engine/model edge cases."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dcscn_tpu.config import Config
+from dcscn_tpu.engine import InferenceEngine
+from dcscn_tpu.models import dcscn
+from dcscn_tpu.ops import resize as resize_ops
+
+
+def test_profiler_trace_smoke(tmp_path):
+    trace_dir = str(tmp_path / "prof")
+
+    @jax.jit
+    def f(x):
+        return x * 2.0
+
+    with jax.profiler.trace(trace_dir):
+        jax.device_get(f(jnp.ones((8, 8))))
+    # xplane files land under trace_dir/plugins/profile/...
+    found = any("xplane" in fn or "trace" in fn
+                for _, _, fns in os.walk(trace_dir) for fn in fns)
+    assert found
+
+
+def test_api_save_profile_trace(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from dcscn_tpu import api
+    from dcscn_tpu.utils import imaging
+
+    rng = np.random.default_rng(0)
+    os.makedirs("data/t", exist_ok=True)
+    imaging.save_image("data/t/x.png", rng.integers(0, 255, (16, 16, 3), np.uint8),
+                       print_console=False)
+    cfg = Config(layers=2, filters=4, min_filters=4, use_nin=False,
+                 reconstruct_filters=4, self_ensemble=1, dropout_rate=1.0,
+                 enable_log=False)
+    m = api.SuperResolution(cfg)
+    m.init_all_variables()
+    m.save_profile_trace("data/t/x.png")
+    assert os.path.isdir(os.path.join(cfg.tf_log_dir, "profile"))
+
+
+def test_spatial_sharded_x4_two_stage_ps():
+    """x4 = two chained PS stages; halo math must still be exact."""
+    from dcscn_tpu.parallel import mesh as mesh_mod
+    from dcscn_tpu.parallel import spatial
+
+    cfg = Config(layers=2, filters=6, min_filters=4, nin_filters=6, nin_filters2=4,
+                 dropout_rate=1.0, scale=4)
+    params = dcscn.init_params(jax.random.PRNGKey(0), cfg)
+    m = mesh_mod.make_mesh(1, 4)
+    halo = dcscn.receptive_field_lr(cfg)
+    h = 4 * max(2 * halo, 16)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 255, (h, 24, 1)).astype(np.float32)
+    x2 = resize_ops.resize_image(x, 4).astype(np.float32)
+
+    whole, _ = dcscn.apply(params, jnp.asarray(x)[None], jnp.asarray(x2)[None], cfg)
+    fn = spatial.spatial_forward_fn(cfg, m, halo=halo)
+    sharded = np.asarray(fn(params, jnp.asarray(x), jnp.asarray(x2)))
+    np.testing.assert_allclose(sharded, np.asarray(whole[0]), rtol=1e-5, atol=5e-4)
+
+
+def test_tiled_engine_depthwise_variant():
+    cfg = Config(layers=2, filters=6, min_filters=4, nin_filters=6, nin_filters2=4,
+                 dropout_rate=1.0, depthwise_separable=True, self_ensemble=1)
+    params = dcscn.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0, 255, (40, 56, 1)).astype(np.float32)
+    x2 = resize_ops.resize_image(x, 2)
+    whole = InferenceEngine(params, cfg).run(x, x2)
+    tiled = InferenceEngine(params, cfg.replace(tile_size=16)).run(x, x2)
+    np.testing.assert_allclose(tiled, whole, rtol=1e-5, atol=5e-4)
+
+
+def test_tiled_engine_transposed_conv_variant():
+    cfg = Config(layers=2, filters=6, min_filters=4, nin_filters=6, nin_filters2=4,
+                 dropout_rate=1.0, pixel_shuffler=False, self_ensemble=1, scale=3)
+    params = dcscn.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(2)
+    x = rng.uniform(0, 255, (36, 45, 1)).astype(np.float32)
+    x2 = resize_ops.resize_image(x, 3)
+    whole = InferenceEngine(params, cfg).run(x, x2)
+    tiled = InferenceEngine(params, cfg.replace(tile_size=16)).run(x, x2)
+    np.testing.assert_allclose(tiled, whole, rtol=1e-5, atol=5e-4)
+
+
+def test_engine_small_image_falls_back_to_single_window():
+    cfg = Config(layers=2, filters=4, min_filters=4, use_nin=False,
+                 reconstruct_filters=4, dropout_rate=1.0, self_ensemble=1,
+                 tile_size=64)
+    params = dcscn.init_params(jax.random.PRNGKey(0), cfg)
+    x = np.full((12, 14, 1), 90.0, np.float32)
+    x2 = resize_ops.resize_image(x, 2)
+    out = InferenceEngine(params, cfg).run(x, x2)
+    assert out.shape == (24, 28, 1)
