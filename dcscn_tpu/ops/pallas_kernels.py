@@ -20,6 +20,10 @@ import jax
 import jax.numpy as jnp
 
 
+_PALLAS_BROKEN = False  # set after a failed TPU mosaic compile (e.g. remote
+# compile services that only support plain XLA); we then use the XLA path
+
+
 def gather_windows_xla(img, row_starts, col_starts, win_h: int, win_w: int):
     """[H, W, C], [n], [n] -> [n, win_h, win_w, C] via vmapped dynamic_slice."""
     c = img.shape[-1]
@@ -30,13 +34,30 @@ def gather_windows_xla(img, row_starts, col_starts, win_h: int, win_w: int):
     return jax.vmap(one)(row_starts, col_starts)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
 def gather_windows(img, row_starts, col_starts, win_h: int, win_w: int,
                    interpret: bool = False):
-    """Pallas window gather on TPU; falls back to XLA elsewhere."""
+    """Pallas window gather on TPU; falls back to XLA elsewhere or when the
+    TPU toolchain cannot compile Mosaic kernels."""
+    global _PALLAS_BROKEN
     platform = jax.devices()[0].platform
-    if platform not in ("tpu",) and not interpret:
-        return gather_windows_xla(img, row_starts, col_starts, win_h, win_w)
+    if (platform != "tpu" or _PALLAS_BROKEN) and not interpret:
+        return _gather_windows_xla_jit(img, row_starts, col_starts, win_h, win_w)
+    try:
+        return _gather_windows_pallas(img, row_starts, col_starts, win_h, win_w,
+                                      interpret)
+    except Exception:
+        if interpret:
+            raise
+        _PALLAS_BROKEN = True
+        return _gather_windows_xla_jit(img, row_starts, col_starts, win_h, win_w)
+
+
+_gather_windows_xla_jit = jax.jit(gather_windows_xla, static_argnums=(3, 4))
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _gather_windows_pallas(img, row_starts, col_starts, win_h: int, win_w: int,
+                           interpret: bool = False):
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
