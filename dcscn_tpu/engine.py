@@ -118,12 +118,21 @@ class InferenceEngine:
             # x_img [h,w,1], x2_img [H,W,1]
             batch_a, batch_b = flips.make_ensemble_batch(x_img, ensemble)
             x2_a, x2_b = flips.make_ensemble_batch(x2_img, ensemble)
-            out_a, _ = dcscn.apply(params, batch_a, x2_a, cfg, training=False,
-                                   bn_state=bn, compute_dtype=cdt)
-            out_b = None
-            if batch_b is not None:
-                out_b, _ = dcscn.apply(params, batch_b, x2_b, cfg, training=False,
+            if batch_b is not None and x_img.shape[0] == x_img.shape[1]:
+                # square input: all 8 transforms share one shape -> ONE pass
+                n_a = batch_a.shape[0]
+                out, _ = dcscn.apply(
+                    params, jnp.concatenate([batch_a, batch_b], axis=0),
+                    jnp.concatenate([x2_a, x2_b], axis=0), cfg,
+                    training=False, bn_state=bn, compute_dtype=cdt)
+                out_a, out_b = out[:n_a], out[n_a:]
+            else:
+                out_a, _ = dcscn.apply(params, batch_a, x2_a, cfg, training=False,
                                        bn_state=bn, compute_dtype=cdt)
+                out_b = None
+                if batch_b is not None:
+                    out_b, _ = dcscn.apply(params, batch_b, x2_b, cfg, training=False,
+                                           bn_state=bn, compute_dtype=cdt)
             total = flips.invert_ensemble_batch(out_a, out_b)
             return total / float(ensemble)
 

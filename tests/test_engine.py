@@ -106,3 +106,20 @@ def test_max_value_rescale():
     out = eng.run(x, x2)
     # zero model: output == x2 rescaled back to 0..255 exactly
     np.testing.assert_allclose(out, x2, rtol=1e-4, atol=1e-3)
+
+
+def test_ensemble_square_single_pass_matches():
+    """Square inputs take the fused single-forward ensemble path."""
+    cfg = CFG.replace(scale=2, self_ensemble=8)
+    eng = _make_engine(cfg, seed=7)
+    rng = np.random.default_rng(9)
+    x = rng.uniform(0, 255, (20, 20, 1)).astype(np.float32)
+    x2 = resize_ops.resize_image(x, 2)
+    fused = eng.run(x, x2)
+
+    acc = np.zeros_like(fused)
+    for i in range(8):
+        xi = np.ascontiguousarray(flips.flip(x, i)).astype(np.float32)
+        x2i = np.ascontiguousarray(flips.flip(x2, i)).astype(np.float32)
+        acc += flips.flip(eng.run(xi, x2i, self_ensemble=1), i, invert=True)
+    np.testing.assert_allclose(fused, acc / 8.0, rtol=1e-4, atol=1e-3)
