@@ -201,9 +201,38 @@ class SuperResolution:
         by `dcscn_tpu.io.export.export_model`."""
         from dcscn_tpu.io import export
 
-        self.params, self.bn_state, self.cfg = export.load_exported(
+        # the artifact carries the full model config — preserve this
+        # session's environment/runtime fields, adopt the model fields
+        runtime_keep = dict(
+            checkpoint_dir=self.cfg.checkpoint_dir, data_dir=self.cfg.data_dir,
+            output_dir=self.cfg.output_dir, tf_log_dir=self.cfg.tf_log_dir,
+            batch_dir=self.cfg.batch_dir, log_filename=self.cfg.log_filename,
+            test_dataset=self.cfg.test_dataset, dataset=self.cfg.dataset,
+            frozenInference=True, frozen_graph_path=self.cfg.frozen_graph_path,
+            tile_size=self.cfg.tile_size, jit_cache_dir=self.cfg.jit_cache_dir,
+            enable_log=self.cfg.enable_log, initialize_tf_log=False,
+        )
+        self.params, self.bn_state, cfg = export.load_exported(
             frozen_graph_path or self.cfg.frozen_graph_path, self.cfg
         )
+        self.cfg = cfg.replace(**runtime_keep)
+        self._refresh_derived()
+
+    def _refresh_derived(self):
+        """Re-sync cached attributes after self.cfg changes."""
+        cfg = self.cfg  # self.name stays as derived at construction time,
+        # matching the reference's use of the CLI-config name for output dirs
+        self.scale = cfg.scale
+        self.max_value = cfg.max_value
+        self.channels = cfg.channels
+        self.self_ensemble = cfg.self_ensemble
+        self.psnr_calc_border_size = cfg.effective_psnr_border
+        self.batch_num = cfg.batch_num
+        self.batch_image_size = cfg.batch_image_size
+        self.stride_size = cfg.effective_stride_size
+        self.training_images = cfg.effective_training_images
+        self.total_epochs = cfg.total_epochs
+        self.compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         self._engine = None
 
     # ------------------------------------------------------------------
@@ -570,15 +599,12 @@ class SuperResolution:
     # full resumable training state (params+optimizer+schedule) — the
     # reference saves only weights and restarts the LR schedule (SURVEY §5)
     def save_train_state(self, trial: int = 0):
-        base = self._ckpt_base("", trial) + ".train.npz"
-        tmp = base + ".tmp.npz"
+        # ckpt_io writes tmp-then-rename: a crash never corrupts the ckpt
         ckpt_io.save_train_state(
-            tmp, self.params, self.opt_state, bn_state=self.bn_state,
+            self._ckpt_base("", trial) + ".train.npz",
+            self.params, self.opt_state, bn_state=self.bn_state,
             step=self.step, epochs_completed=self.epochs_completed,
             epochs_in_stage=self.epochs_completed_in_stage, lr=self.lr)
-        os.replace(tmp, base)  # atomic: a crash never corrupts the ckpt
-        if os.path.exists(tmp + ".json"):
-            os.replace(tmp + ".json", base + ".json")
 
     def load_train_state(self, trial: int = 0) -> bool:
         base = self._ckpt_base("", trial) + ".train.npz"

@@ -115,8 +115,6 @@ def _train_loop_steps(model, cfg, trial, test_filenames, steps_per_epoch):
     """Reference-equivalent loop: host builds each minibatch, one jitted
     optimizer step per iteration (train.py:78-94)."""
     psnr = ssim = 0.0
-    if hasattr(model.train, "start_prefetch"):
-        pass  # per-sample path below matches reference exactly
     while model.lr > cfg.end_lr:
         model.build_input_batch()
         model.train_batch()

@@ -273,7 +273,11 @@ class DynamicDataset:
         self._queue: Optional[queue.Queue] = None
         self._stop = threading.Event()
         self._workers: List[threading.Thread] = []
+        # bounded decoded-image cache shared by prefetch threads
         self._image_cache: Dict[str, np.ndarray] = {}
+        self._cache_bytes = 0
+        self._cache_budget = 2 << 30  # 2 GiB
+        self._cache_lock = threading.Lock()
 
     def set_data_dir(self, data_dir: str) -> None:
         self.filenames = files.get_files_in_directory(data_dir)
@@ -320,10 +324,21 @@ class DynamicDataset:
         return input_image, input_bicubic, image
 
     def _cached_image(self, filename: str) -> np.ndarray:
-        img = self._image_cache.get(filename)
-        if img is None:
-            img = imaging.load_image(filename, print_console=False)
-            self._image_cache[filename] = img
+        with self._cache_lock:
+            img = self._image_cache.get(filename)
+        if img is not None:
+            return img
+        img = imaging.load_image(filename, print_console=False)
+        with self._cache_lock:
+            if filename not in self._image_cache:
+                # FIFO eviction under a byte budget (datasets larger than
+                # the budget decode per sample, like the reference)
+                while self._cache_bytes + img.nbytes > self._cache_budget and self._image_cache:
+                    oldest = next(iter(self._image_cache))
+                    self._cache_bytes -= self._image_cache.pop(oldest).nbytes
+                if img.nbytes <= self._cache_budget:
+                    self._image_cache[filename] = img
+                    self._cache_bytes += img.nbytes
         return img
 
     # -- prefetching batched path ----------------------------------------

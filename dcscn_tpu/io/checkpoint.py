@@ -53,18 +53,26 @@ def checkpoint_path(checkpoint_dir: str, name: str, trial: int = 0) -> str:
     return os.path.join(checkpoint_dir, "%s.ckpt.npz" % name)
 
 
+def _atomic_savez(path: str, flat: Dict[str, np.ndarray]) -> None:
+    """Write-then-rename so a crash mid-write never corrupts a checkpoint."""
+    tmp = path + ".tmp"
+    np.savez(tmp, **flat)
+    # np.savez appends .npz when the name lacks it
+    written = tmp if os.path.exists(tmp) else tmp + ".npz"
+    os.replace(written, path)
+
+
 def save_params(
     path: str, params: Any, meta: Optional[Dict[str, Any]] = None
 ) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     flat = _flatten(jax.device_get(params))
-    np.savez(path, **flat)
-    # np.savez appends .npz only when missing; normalize
-    if not path.endswith(".npz") and os.path.exists(path + ".npz"):
-        os.replace(path + ".npz", path)
+    _atomic_savez(path, flat)
     if meta is not None:
-        with open(path + ".json", "w") as f:
+        tmp = path + ".json.tmp"
+        with open(tmp, "w") as f:
             json.dump(meta, f, indent=2, default=str)
+        os.replace(tmp, path + ".json")
 
 
 def load_params(path: str) -> Dict[str, Any]:
@@ -103,9 +111,7 @@ def save_train_state(
             "bn_state": jax.device_get(bn_state) if bn_state is not None else None,
         }
     )
-    np.savez(path, **flat)
-    if not path.endswith(".npz") and os.path.exists(path + ".npz"):
-        os.replace(path + ".npz", path)
+    _atomic_savez(path, flat)
     meta = {
         "step": step,
         "epochs_completed": epochs_completed,
@@ -114,8 +120,10 @@ def save_train_state(
     }
     if extra:
         meta.update(extra)
-    with open(path + ".json", "w") as f:
+    tmp = path + ".json.tmp"
+    with open(tmp, "w") as f:
         json.dump(meta, f, indent=2, default=str)
+    os.replace(tmp, path + ".json")
 
 
 def load_train_state(path: str, opt_state_template: Any) -> Tuple[Any, Any, Any, Dict[str, Any]]:

@@ -35,8 +35,10 @@ def fold_batch_norm(params: Dict[str, Any], bn_state: Optional[Dict[str, Any]],
     folded = {k: dict(v) for k, v in params.items()}
     for name, bn in bn_state.items():
         layer = folded[name]
-        scale = np.asarray(bn["scale"]) / np.sqrt(np.asarray(bn["var"]) + eps)
-        shift = np.asarray(bn["offset"]) - np.asarray(bn["mean"]) * scale
+        gamma = np.asarray(layer.pop("bn_scale", 1.0))
+        beta = np.asarray(layer.pop("bn_offset", 0.0))
+        scale = gamma / np.sqrt(np.asarray(bn["var"]) + eps)
+        shift = beta - np.asarray(bn["mean"]) * scale
         if "w" in layer:
             layer["w"] = np.asarray(layer["w"]) * scale  # broadcast over out-ch
         else:

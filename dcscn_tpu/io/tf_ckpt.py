@@ -131,12 +131,13 @@ def _check_shapes(name: str, spec: Dict[str, Any], layer: Dict[str, np.ndarray])
 
 
 def split_bn(params: Dict[str, Any]) -> (Dict[str, Any], Optional[Dict[str, Any]]):
-    """Move bn_* leaves out of params into a bn_state pytree."""
+    """Split converted BN leaves: running mean/var -> bn_state; the
+    trainable gamma/beta stay in params as bn_scale/bn_offset."""
     bn_state: Dict[str, Any] = {}
     clean: Dict[str, Any] = {}
     for name, layer in params.items():
-        rest = {k: v for k, v in layer.items() if not k.startswith("bn_")}
-        bn = {k[3:]: v for k, v in layer.items() if k.startswith("bn_")}
+        rest = {k: v for k, v in layer.items() if k not in ("bn_mean", "bn_var")}
+        bn = {k[3:]: v for k, v in layer.items() if k in ("bn_mean", "bn_var")}
         clean[name] = rest
         if bn:
             bn_state[name] = bn

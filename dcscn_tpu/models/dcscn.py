@@ -115,7 +115,7 @@ def upscale_weight(scale: int, channels: int) -> jnp.ndarray:
 
 
 def _conv_param(rng, cfg: Config, k: int, cin: int, cout: int, use_bias: bool, use_prelu: bool,
-                separable: bool) -> Dict[str, jnp.ndarray]:
+                separable: bool, use_bn: bool = False) -> Dict[str, jnp.ndarray]:
     p: Dict[str, jnp.ndarray] = {}
     r_w, r_dw, r_pw = jax.random.split(rng, 3)
     if separable:
@@ -128,6 +128,12 @@ def _conv_param(rng, cfg: Config, k: int, cin: int, cout: int, use_bias: bool, u
     if use_prelu:
         # per-channel alpha initialized to 0.1 (tf_graph.py:91)
         p["prelu"] = jnp.full((cout,), 0.1, jnp.float32)
+    if use_bn:
+        # trainable BN affine (gamma/beta) lives in params so it receives
+        # gradients like tf.layers.batch_normalization's; running mean/var
+        # live in bn_state (non-differentiated)
+        p["bn_scale"] = jnp.ones((cout,), jnp.float32)
+        p["bn_offset"] = jnp.zeros((cout,), jnp.float32)
     return p
 
 
@@ -219,12 +225,13 @@ def init_params(rng, cfg: Config) -> Params:
         params[spec["name"]] = _conv_param(
             r, cfg, spec["k"], spec["cin"], spec["cout"],
             use_bias=spec["bias"], use_prelu=(spec["activator"] == "prelu"),
-            separable=spec["separable"],
+            separable=spec["separable"], use_bn=bool(spec.get("bn")),
         )
     return params
 
 
 def init_bn_state(cfg: Config) -> Optional[BnState]:
+    """Running statistics only; the trainable gamma/beta are in params."""
     if not cfg.batch_norm:
         return None
     state: BnState = {}
@@ -232,8 +239,6 @@ def init_bn_state(cfg: Config) -> Optional[BnState]:
         if spec.get("bn"):
             c = spec["cout"]
             state[spec["name"]] = {
-                "scale": jnp.ones((c,), jnp.float32),
-                "offset": jnp.zeros((c,), jnp.float32),
                 "mean": jnp.zeros((c,), jnp.float32),
                 "var": jnp.ones((c,), jnp.float32),
             }
@@ -284,18 +289,21 @@ def _activate(x, activator: Optional[str], prelu_alpha=None, leaky_alpha: float 
     raise ValueError("Not implemented activator: %s" % activator)
 
 
-def _batch_norm(x, bn, training: bool, momentum: float = 0.99, eps: float = 1e-3):
-    """tf.layers.batch_normalization defaults (tf_graph.py:113)."""
+def _batch_norm(x, bn, scale, offset, training: bool, momentum: float = 0.99,
+                eps: float = 1e-3):
+    """tf.layers.batch_normalization defaults (tf_graph.py:113). `bn` holds
+    running mean/var; `scale`/`offset` are the trainable affine params."""
     if training:
         mean = jnp.mean(x, axis=(0, 1, 2))
         var = jnp.var(x, axis=(0, 1, 2))
-        new_bn = dict(bn)
-        new_bn["mean"] = momentum * bn["mean"] + (1 - momentum) * mean
-        new_bn["var"] = momentum * bn["var"] + (1 - momentum) * var
+        new_bn = {
+            "mean": momentum * bn["mean"] + (1 - momentum) * mean,
+            "var": momentum * bn["var"] + (1 - momentum) * var,
+        }
     else:
         mean, var = bn["mean"], bn["var"]
         new_bn = bn
-    y = (x - mean) * jax.lax.rsqrt(var + eps) * bn["scale"] + bn["offset"]
+    y = (x - mean) * jax.lax.rsqrt(var + eps) * scale + offset
     return y, new_bn
 
 
@@ -399,7 +407,8 @@ def apply(
         if spec["bias"]:
             out = out + p["b"].astype(compute_dtype)
         if spec["bn"] and bn_state is not None:
-            out, nb = _batch_norm(out, bn_state[name], training)
+            out, nb = _batch_norm(out, bn_state[name], p["bn_scale"].astype(compute_dtype),
+                                  p["bn_offset"].astype(compute_dtype), training)
             new_bn[name] = nb
         if spec["activator"]:
             alpha = p.get("prelu")

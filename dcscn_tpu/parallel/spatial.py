@@ -38,7 +38,7 @@ from dcscn_tpu.models import dcscn
 
 
 def spatial_forward_fn(cfg: Config, mesh: Mesh, halo: Optional[int] = None,
-                       compute_dtype=jnp.float32):
+                       compute_dtype=jnp.float32, bn_state=None):
     """Build a jitted fn (params, x [H,W,1], x2 [H*s,W*s,1]) -> [H*s,W*s,1]
     with rows of x/x2/output sharded over the 'spatial' mesh axis.
 
@@ -52,6 +52,12 @@ def spatial_forward_fn(cfg: Config, mesh: Mesh, halo: Optional[int] = None,
 
     def shard_body(params, x, x2):
         # x: this device's band [hb, W, 1]; x2: [hb*s, W*s, 1]
+        if n_sp == 1:
+            # degenerate mesh: no neighbors — wraparound halos would splice
+            # the image's own rows; just run the whole image
+            y, _ = dcscn.apply(params, x[None], x2[None], cfg, training=False,
+                               bn_state=bn_state, compute_dtype=compute_dtype)
+            return y[0]
         idx = jax.lax.axis_index("spatial")
         hb = x.shape[0]
         win = hb + 2 * halo
@@ -74,7 +80,8 @@ def spatial_forward_fn(cfg: Config, mesh: Mesh, halo: Optional[int] = None,
         win_x2 = jax.lax.dynamic_slice_in_dim(ext2, off * s, win * s, axis=0)
 
         y, _ = dcscn.apply(params, win_x[None], win_x2[None], cfg,
-                           training=False, compute_dtype=compute_dtype)
+                           training=False, bn_state=bn_state,
+                           compute_dtype=compute_dtype)
 
         # owned rows within the window: global own start - window start
         own_off = jnp.where(idx == 0, 0, jnp.where(idx == n_sp - 1, 2 * halo, halo))

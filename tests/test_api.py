@@ -3,6 +3,7 @@ trips on tiny models and images (CPU)."""
 
 import os
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -110,11 +111,12 @@ def test_export_folds_batch_norm(env):
     cfg = Config(**{**TINY, "batch_norm": True})
     params = dcscn.init_params(jax.random.PRNGKey(0), cfg)
     bn = dcscn.init_bn_state(cfg)
-    # nontrivial running stats
+    # nontrivial running stats + nontrivial trainable affine
     for name in bn:
         bn[name]["mean"] = jnp.full_like(bn[name]["mean"], 0.3)
         bn[name]["var"] = jnp.full_like(bn[name]["var"], 2.0)
-        bn[name]["scale"] = jnp.full_like(bn[name]["scale"], 1.5)
+        params[name]["bn_scale"] = jnp.full_like(params[name]["bn_scale"], 1.5)
+        params[name]["bn_offset"] = jnp.full_like(params[name]["bn_offset"], -0.2)
 
     x = jnp.asarray(np.random.default_rng(1).uniform(0, 255, (1, 8, 8, 1)), jnp.float32)
     x2 = jnp.zeros((1, 16, 16, 1), jnp.float32)
@@ -124,6 +126,51 @@ def test_export_folds_batch_norm(env):
     cfg_nobn = cfg.replace(batch_norm=False)
     y_folded, _ = dcscn.apply(folded, x, x2, cfg_nobn, training=False)
     np.testing.assert_allclose(np.asarray(y_bn), np.asarray(y_folded), rtol=1e-4, atol=1e-3)
+
+
+def test_frozen_inference_cross_scale(env):
+    """An x3 artifact must evaluate correctly from an x2-default CLI config
+    (the artifact's config wins for model fields)."""
+    import numpy as np
+
+    m = _model(scale=3)
+    from dcscn_tpu.io import export
+
+    export.export_model("model_to_freeze/frozen_x3.npz", m.params, m.cfg, m.bn_state)
+
+    m2 = api.SuperResolution(Config(**TINY))  # scale=2 defaults
+    m2.load_graph("model_to_freeze/frozen_x3.npz")
+    assert m2.scale == 3
+    psnr, ssim = m2.do_for_evaluate("data/tiny/img0.png")
+    assert np.isfinite(psnr)
+
+
+def test_batch_norm_affine_receives_gradients(env):
+    import jax
+
+    from dcscn_tpu.train import trainer as trainer_mod
+    from dcscn_tpu.train.trainer import Batch
+
+    cfg = Config(**{**TINY, "batch_norm": True, "batch_num": 2,
+                    "dropout_rate": 1.0})
+    from dcscn_tpu.models import dcscn as dcscn_mod
+
+    params = dcscn_mod.init_params(jax.random.PRNGKey(0), cfg)
+    bn = dcscn_mod.init_bn_state(cfg)
+    tr = trainer_mod.Trainer(cfg)
+    opt = tr.init_opt_state(params)
+    rng = np.random.default_rng(0)
+    batch = Batch(
+        jnp.asarray(rng.uniform(0, 255, (2, 8, 8, 1)), jnp.float32),
+        jnp.asarray(rng.uniform(0, 255, (2, 16, 16, 1)), jnp.float32),
+        jnp.asarray(rng.uniform(0, 255, (2, 16, 16, 1)), jnp.float32),
+    )
+    step = tr.train_step()
+    p2, _, bn2, _ = step(params, opt, bn, batch, jax.random.PRNGKey(1))
+    # gamma/beta moved (they are trainable params now)
+    assert not np.allclose(np.asarray(p2["CNN1"]["bn_scale"]), 1.0)
+    # running stats moved too
+    assert not np.allclose(np.asarray(bn2["CNN1"]["mean"]), 0.0)
 
 
 def test_reference_train_loop_smoke(env):

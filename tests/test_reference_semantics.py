@@ -119,9 +119,9 @@ def test_dropout_scaling_preserves_expectation():
 def test_batch_norm_inference_formula():
     x = jnp.asarray(np.random.default_rng(0).normal(2.0, 3.0, (2, 4, 4, 5)),
                     jnp.float32)
-    bn = {"scale": jnp.full((5,), 1.5), "offset": jnp.full((5,), 0.3),
-          "mean": jnp.full((5,), 2.0), "var": jnp.full((5,), 9.0)}
-    y, new_bn = dcscn._batch_norm(x, bn, training=False)
+    bn = {"mean": jnp.full((5,), 2.0), "var": jnp.full((5,), 9.0)}
+    y, new_bn = dcscn._batch_norm(x, bn, jnp.full((5,), 1.5), jnp.full((5,), 0.3),
+                                  training=False)
     expect = (np.asarray(x) - 2.0) / np.sqrt(9.0 + 1e-3) * 1.5 + 0.3
     np.testing.assert_allclose(np.asarray(y), expect, rtol=1e-5)
     assert new_bn is bn  # no update at inference
@@ -130,9 +130,9 @@ def test_batch_norm_inference_formula():
 def test_batch_norm_running_update():
     x = jnp.asarray(np.random.default_rng(1).normal(5.0, 1.0, (4, 8, 8, 3)),
                     jnp.float32)
-    bn = {"scale": jnp.ones((3,)), "offset": jnp.zeros((3,)),
-          "mean": jnp.zeros((3,)), "var": jnp.ones((3,))}
-    _, new_bn = dcscn._batch_norm(x, bn, training=True)
+    bn = {"mean": jnp.zeros((3,)), "var": jnp.ones((3,))}
+    _, new_bn = dcscn._batch_norm(x, bn, jnp.ones((3,)), jnp.zeros((3,)),
+                                  training=True)
     # momentum 0.99: new_mean = 0.99*0 + 0.01*batch_mean (~5.0)
     np.testing.assert_allclose(np.asarray(new_bn["mean"]), 0.01 * np.asarray(
         jnp.mean(x, axis=(0, 1, 2))), rtol=1e-4)
