@@ -137,6 +137,9 @@ class Config:
     mesh_data: int = 0  # data-parallel mesh size; 0 = all visible devices
     mesh_spatial: int = 1  # spatial-parallel mesh size for tiled inference
     tile_size: int = 0  # LR tile size for tiled inference; 0 = whole image
+    remat: bool = False  # jax.checkpoint the forward in training: recompute
+    # activations in backward instead of storing them (trade FLOPs for HBM;
+    # enables much larger batch/patch sizes)
     jit_cache_dir: str = ""  # persistent XLA compilation cache dir ("" = off)
 
     # ------------------------------------------------------------------

@@ -1,0 +1,46 @@
+"""Multi-host initialization for TPU pods.
+
+The reference is single-process/single-device (SURVEY.md §2d). For pod-scale
+training this framework uses jax.distributed: every host calls
+`initialize()` before any jax use; the global mesh then spans all hosts'
+devices (collectives ride ICI within a slice, DCN across slices), and each
+host feeds only its local shard of the minibatch
+(`host_local_batch_slice`).
+
+Single-host environments (including this repo's tests and the one-chip
+bench box) skip initialization and everything degrades to the local mesh.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> bool:
+    """Initialize jax.distributed when running multi-host; returns whether
+    distributed mode is active. On TPU pods the arguments are discovered
+    from the environment automatically."""
+    explicit = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if explicit is None and os.environ.get("TPU_WORKER_HOSTNAMES", "") in ("", "localhost"):
+        return False  # single host
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        return jax.process_count() > 1
+    except Exception:
+        return False
+
+
+def host_local_batch_slice(global_batch: int) -> slice:
+    """This host's slice of a globally-sharded minibatch."""
+    per_host = global_batch // jax.process_count()
+    start = jax.process_index() * per_host
+    return slice(start, start + per_host)

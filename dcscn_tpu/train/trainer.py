@@ -60,11 +60,15 @@ def l2_penalty(params: Dict[str, Any], cfg: Config) -> jnp.ndarray:
 
 
 def loss_fn(params, batch: Batch, cfg: Config, dropout_rng, bn_state, compute_dtype):
-    y, new_bn = dcscn.apply(
-        params, batch.x, batch.x2, cfg,
-        training=True, dropout_rng=dropout_rng, bn_state=bn_state,
-        compute_dtype=compute_dtype,
-    )
+    def fwd(params, x, x2):
+        return dcscn.apply(params, x, x2, cfg, training=True,
+                           dropout_rng=dropout_rng, bn_state=bn_state,
+                           compute_dtype=compute_dtype)
+
+    if cfg.remat:
+        # recompute activations in the backward pass (HBM for FLOPs)
+        fwd = jax.checkpoint(fwd)
+    y, new_bn = fwd(params, batch.x, batch.x2)
     diff = y - batch.y
     mse = jnp.mean(jnp.square(diff))
     image_loss = jnp.mean(jnp.abs(diff)) if cfg.use_l1_loss else mse

@@ -179,3 +179,28 @@ def test_set_learning_rate():
     opt = tr.init_opt_state(_params())
     opt = tr.set_lr(opt, 1e-3)
     assert float(opt.hyperparams["learning_rate"]) == pytest.approx(1e-3)
+
+
+def test_remat_matches_no_remat():
+    cfg = CFG.replace(remat=True)
+    tr_r = trainer_mod.Trainer(cfg)
+    tr_n = trainer_mod.Trainer(CFG)
+    params = _params()
+    batch = _batch()
+    rng = jax.random.PRNGKey(0)
+    p_r, _, _, m_r = tr_r.train_step()(params, tr_r.init_opt_state(params), None, batch, rng)
+    params2 = _params()
+    p_n, _, _, m_n = tr_n.train_step()(params2, tr_n.init_opt_state(params2), None, batch, rng)
+    assert float(m_r.loss) == pytest.approx(float(m_n.loss), rel=1e-6)
+    for k in p_r:
+        for leaf in p_r[k]:
+            np.testing.assert_allclose(np.asarray(p_r[k][leaf]),
+                                       np.asarray(p_n[k][leaf]), rtol=1e-5, atol=1e-7)
+
+
+def test_distributed_single_host_noop():
+    from dcscn_tpu.parallel import distributed
+
+    assert distributed.initialize() is False
+    sl = distributed.host_local_batch_slice(16)
+    assert sl == slice(0, 16)
