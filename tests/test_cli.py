@@ -95,3 +95,37 @@ def test_train_cli_one_stage(env):
     assert any(n.endswith(".ckpt.npz") for n in names)
     assert any(n.endswith(".train.npz") for n in names)
     assert os.path.isdir("output")
+
+
+def test_train_cli_multi_trial(env):
+    """--tests=2 runs two trials with trial-suffixed checkpoints
+    (reference: train.py:44-51, tf_graph.py:267-270)."""
+    from dcscn_tpu.cli import train
+
+    train.main(TINY_FLAGS + [
+        "--dataset=tinyset", "--test_dataset=tinyset", "--build_batch=True",
+        "--batch_image_size=16", "--batch_num=2", "--training_images=2",
+        "--initial_lr=0.002", "--end_lr=0.0015", "--lr_decay_epoch=1",
+        "--tests=2", "--initialize_tf_log=False",
+    ])
+    names = os.listdir("models")
+    assert any(n.endswith("_1.ckpt.npz") for n in names)  # trial 1 suffix
+
+
+def test_evaluate_cli_frozen(env):
+    """--frozenInference loads an exported artifact without a ckpt dir."""
+    from dcscn_tpu import api
+    from dcscn_tpu.cli import evaluate
+    from dcscn_tpu.config import parse_args
+    from dcscn_tpu.io import export
+
+    cfg, _ = parse_args(TINY_FLAGS)
+    m = api.SuperResolution(cfg)
+    m.init_all_variables()
+    export.export_model("frozen/m.npz", m.params, m.cfg, m.bn_state)
+
+    evaluate.main(TINY_FLAGS + [
+        "--test_dataset=tinyset", "--save_results=False",
+        "--frozenInference=True", "--frozen_graph_path=frozen/m.npz",
+        "--initialize_tf_log=False",
+    ])
