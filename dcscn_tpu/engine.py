@@ -23,6 +23,7 @@ rescaling (DCSCN.py:552-557, :581-584).
 from __future__ import annotations
 
 import math
+import time
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -145,6 +146,22 @@ class InferenceEngine:
             self._fns[key] = fn
         return fn
 
+    def _dispatch(self, fn, *args, retries: int = 2):
+        """Run a compiled forward with transient-failure retry. Remote TPU
+        runtimes occasionally surface FAILED_PRECONDITION on an otherwise
+        healthy program; params are immutable here so a retry is safe."""
+        import jax.errors
+
+        last = None
+        for attempt in range(retries + 1):
+            try:
+                return np.asarray(fn(self.params, *args))
+            except jax.errors.JaxRuntimeError as e:  # pragma: no cover
+                last = e
+                if attempt < retries:
+                    time.sleep(1.0 + attempt)
+        raise last
+
     # ------------------------------------------------------------------
     def run(
         self,
@@ -181,15 +198,15 @@ class InferenceEngine:
         h, w = x.shape[:2]
         if ensemble > 1:
             fn = self._get_fn(("ens", h, w, ensemble), lambda: self._forward_fn(ensemble))
-            out = fn(self.params, jnp.asarray(x, jnp.float32), jnp.asarray(x2, jnp.float32))
-            return np.asarray(out)
+            return self._dispatch(fn, jnp.asarray(x, jnp.float32),
+                                  jnp.asarray(x2, jnp.float32))
         fn = self._get_fn(("fwd", 1, h, w), lambda: self._forward_fn(1))
-        out = fn(
-            self.params,
+        out = self._dispatch(
+            fn,
             jnp.asarray(x, jnp.float32)[None],
             jnp.asarray(x2, jnp.float32)[None],
         )
-        return np.asarray(out[0])
+        return out[0]
 
     # ------------------------------------------------------------------
     def _run_tiled(self, x: np.ndarray, x2: np.ndarray, ensemble: int) -> np.ndarray:
@@ -242,7 +259,7 @@ class InferenceEngine:
         batch2 = pallas_kernels.gather_windows(
             x2_dev, rows_i * s, cols_i * s, win_h * s, win_w * s)
         fn = self._get_fn(("fwd", n_pad, win_h, win_w), lambda: self._forward_fn(1))
-        out = np.asarray(fn(self.params, batch, batch2))[:n]
+        out = self._dispatch(fn, batch, batch2)[:n]
 
         result = np.zeros((h * s, w * s, 1), dtype=np.float32)
         for tile_out, (ws_r, a_r, b_r, ws_c, a_c, b_c) in zip(out, slots):
