@@ -165,13 +165,17 @@ class SuperResolution:
                 structural = ("pixel_shuffler_filters", "legacy_skip_c", "reconstruct_layers",
                               "reconstruct_filters", "cnn_size", "nin_filters", "nin_filters2")
                 overrides = {k: meta["config"][k] for k in structural if k in meta["config"]}
-                if overrides:
+                if overrides and self.cfg.replace(**overrides) != self.cfg:
                     self.cfg = self.cfg.replace(**overrides)
+                    self._invalidate_model_dependents()
         elif os.path.isfile(base + ".index"):
             # reference TF checkpoint: convert in place
             from dcscn_tpu.io import tf_ckpt
 
-            self.cfg = tf_ckpt.infer_config_overrides(base, self.cfg)
+            new_cfg = tf_ckpt.infer_config_overrides(base, self.cfg)
+            if new_cfg != self.cfg:
+                self.cfg = new_cfg
+                self._invalidate_model_dependents()
             raw = tf_ckpt.convert_tf_checkpoint(base, self.cfg)
             self.params, bn = tf_ckpt.split_bn(raw)
             if bn is not None:
@@ -216,6 +220,13 @@ class SuperResolution:
             frozen_graph_path or self.cfg.frozen_graph_path, self.cfg
         )
         self.cfg = cfg.replace(**runtime_keep)
+        self._refresh_derived()
+
+    def _invalidate_model_dependents(self):
+        """The architecture config changed (checkpoint overrides): anything
+        built against the old config must be rebuilt."""
+        self._trainer = None
+        self.opt_state = None
         self._refresh_derived()
 
     def _refresh_derived(self):
@@ -270,7 +281,7 @@ class SuperResolution:
             output_y_image = self.do(input_y_image)
             imaging.save_image(output_folder + filename + "_result_y" + extension, output_y_image)
 
-            scaled_ycbcr = color.convert_rgb_to_ycbcr(resize_ops.resize_image(org_image, self.scale))
+            scaled_ycbcr = color.convert_rgb_to_ycbcr(scaled_image)
             image = color.convert_y_and_cbcr_to_rgb(output_y_image, scaled_ycbcr[:, :, 1:3])
         else:
             image = self.do(org_image)

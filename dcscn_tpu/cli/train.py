@@ -85,7 +85,6 @@ def train(model: api.SuperResolution, cfg, trial: int, reference_loop: bool = Fa
         model.load_model(cfg.load_model_name, output_log=True)
 
     model.init_epoch_index()
-    model_updated = True
 
     psnr, ssim = model.evaluate(test_filenames)
     model.print_status(psnr, ssim, log=True)
@@ -133,6 +132,13 @@ def _train_loop_steps(model, cfg, trial, test_filenames, steps_per_epoch):
 def _train_loop_scan(model, cfg, trial, test_filenames, steps_per_epoch):
     """Fused epoch path: patch store on device, full epoch per dispatch."""
     trainer = model._ensure_trainer()
+    if trainer.mesh is not None:
+        # commit model state to the mesh explicitly (replicated) so the
+        # sharded epoch scan sees consistent device sets
+        model.params = trainer.replicate(jax.device_get(model.params))
+        model.opt_state = trainer.replicate(jax.device_get(model.opt_state))
+        if model.bn_state is not None:
+            model.bn_state = trainer.replicate(jax.device_get(model.bn_state))
     store = trainer.shard_store(model.train.as_store())
     rng = np.random.default_rng(1234 + trial)
     scan_fn = trainer.epoch_scan()
@@ -178,10 +184,6 @@ def _train_loop_dynamic(model, cfg, trial, test_filenames, steps_per_epoch):
     model.train.start_prefetch(seed=trial)
     psnr = ssim = 0.0
 
-    import jax
-
-    from dcscn_tpu.ops import metrics as metrics_ops
-
     while model.lr > cfg.end_lr:
         model.opt_state = trainer.set_lr(model.opt_state, model.lr)
         mses = []
@@ -199,7 +201,7 @@ def _train_loop_dynamic(model, cfg, trial, test_filenames, steps_per_epoch):
         model.training_step = steps_per_epoch
         model.training_loss_sum = float(np.sum([np.asarray(v) for v in losses]))
         model.training_psnr_sum = float(sum(
-            metrics_ops.get_psnr(float(np.asarray(v)), max_value=model.max_value)
+            metrics.get_psnr(float(np.asarray(v)), max_value=model.max_value)
             for v in mses))
         model.epochs_completed += 1
 
@@ -214,7 +216,14 @@ def _train_loop_dynamic(model, cfg, trial, test_filenames, steps_per_epoch):
 
 
 def evaluate_model(model: api.SuperResolution, cfg, test_data: str):
-    test_filenames = files.get_files_in_directory(cfg.data_dir + "/" + test_data)
+    try:
+        test_filenames = files.get_files_in_directory(cfg.data_dir + "/" + test_data)
+    except FileNotFoundError:
+        logging.warning("benchmark dataset [%s] not found; skipping", test_data)
+        return
+    if not test_filenames:
+        logging.warning("benchmark dataset [%s] is empty; skipping", test_data)
+        return
     total_psnr = total_ssim = 0.0
     for filename in test_filenames:
         psnr, ssim = model.do_for_evaluate_with_output(

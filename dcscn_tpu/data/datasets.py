@@ -189,16 +189,20 @@ class PatchDataset:
         print("Loaded %d patches from bmp store." % self.count)
 
     def load_batch_image_from_disk(self, image_number: int):
-        """Stream one triple from the on-disk store without loading all
-        (reference: helper/loader.py:235-243). Works for both store formats."""
+        """One triple from the on-disk store (reference:
+        helper/loader.py:235-243). The BMP store streams a single patch per
+        call; the npz store is loaded into memory on first access (a zip
+        archive has no per-record random access) and indexed from there."""
         from dcscn_tpu.data import native
 
         image_number = image_number % self.count
         npz = os.path.join(self.batch_dir, "batch_images.npz")
         if os.path.isfile(npz):
-            with np.load(npz, mmap_mode="r") as data:
-                return (data["input"][image_number], data["interpolated"][image_number],
-                        data["true"][image_number])
+            if self.input_images is None:
+                self.load_all_batch_images()
+            return (self.input_images[image_number],
+                    self.input_interpolated_images[image_number],
+                    self.true_images[image_number])
         triple = []
         for sub in (INPUT_IMAGE_DIR, INTERPOLATED_IMAGE_DIR, TRUE_IMAGE_DIR):
             img = native.read_bmp(os.path.join(self.batch_dir, sub, "%06d.bmp" % image_number))
@@ -241,6 +245,11 @@ class PatchDataset:
     def epoch_indices(self, steps: int, batch: int, rng: np.random.Generator) -> np.ndarray:
         """[steps, batch] shuffled indices, reshuffling like the reference's
         per-epoch random permutation (helper/loader.py:222-233)."""
+        if self.count <= 0:
+            raise ValueError(
+                "patch store is empty — all training images are smaller than "
+                "batch_image_size*scale (%dx%d)"
+                % (self.batch_image_size * self.scale, self.batch_image_size * self.scale))
         need = steps * batch
         out = []
         have = 0
@@ -349,7 +358,13 @@ class DynamicDataset:
         out = np.empty((n, load_size, load_size, 1), np.float32)
         for i in range(n):
             patch = None
+            attempts = 0
             while patch is None:
+                attempts += 1
+                if attempts > 4 * self.count + 16:
+                    raise RuntimeError(
+                        "no training image is at least %dx%d (batch_image_size"
+                        "*scale) — cannot sample crops" % (load_size, load_size))
                 filename = self.filenames[rng.randrange(self.count)]
                 image = self._cached_image(filename)
                 h, w = image.shape[:2]
@@ -366,21 +381,28 @@ class DynamicDataset:
         return out
 
     def start_prefetch(self, seed: int = 0) -> None:
-        if self._workers:
+        if any(t.is_alive() for t in self._workers):
             return
-        self._queue = queue.Queue(maxsize=self._depth)
-        self._stop.clear()
+        self._workers = []
+        q: queue.Queue = queue.Queue(maxsize=self._depth)
+        self._queue = q
+        stop = threading.Event()
+        self._stop = stop  # fresh event per generation: stale workers from a
+        # previous start keep observing their own (already-set) event
 
         def worker(wid: int):
             rng = random.Random(seed * 9973 + wid)
-            while not self._stop.is_set():
-                batch = self._produce_crop_batch(rng)
-                while not self._stop.is_set():
-                    try:
-                        self._queue.put(batch, timeout=0.25)
-                        break
-                    except queue.Full:
-                        continue
+            try:
+                while not stop.is_set():
+                    batch = self._produce_crop_batch(rng)
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.25)
+                            break
+                        except queue.Full:
+                            continue
+            except RuntimeError as e:  # unsatisfiable sampling: surface it
+                q.put(e)
 
         for i in range(self._threads):
             t = threading.Thread(target=worker, args=(i,), daemon=True)
@@ -388,12 +410,23 @@ class DynamicDataset:
             self._workers.append(t)
 
     def next_crop_batch(self) -> np.ndarray:
-        if not self._workers:
+        if not any(t.is_alive() for t in self._workers):
             self.start_prefetch()
-        return self._queue.get()
+        while True:
+            try:
+                item = self._queue.get(timeout=5.0)
+            except queue.Empty:
+                if not any(t.is_alive() for t in self._workers):
+                    raise RuntimeError("all prefetch workers died; see logs")
+                continue
+            if isinstance(item, Exception):
+                raise item
+            return item
 
     def stop_prefetch(self) -> None:
         self._stop.set()
+        for t in self._workers:
+            t.join(timeout=2.0)
         self._workers = []
         self._queue = None
 
