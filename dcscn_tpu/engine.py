@@ -173,6 +173,7 @@ class InferenceEngine:
         0..255 -> [h*s, w*s, 1] float output in 0..255."""
         cfg = self.cfg
         ensemble = cfg.self_ensemble if self_ensemble is None else self_ensemble
+        ensemble = max(1, min(int(ensemble), 8))  # flag range is [1, 8]
         if input_image.ndim == 2:
             input_image = input_image[:, :, None]
 

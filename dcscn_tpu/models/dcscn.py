@@ -351,6 +351,10 @@ def apply(
     use_dropout = training and keep < 1.0
     if use_dropout and dropout_rng is None:
         raise ValueError("dropout_rng required when training with dropout_rate < 1")
+    if cfg.batch_norm and bn_state is None:
+        raise ValueError(
+            "cfg.batch_norm=True but bn_state is None — pass the running "
+            "mean/var state (silently skipping BN would corrupt outputs)")
 
     x = x.astype(compute_dtype)
     new_bn: BnState = {} if bn_state is not None else None

@@ -51,10 +51,14 @@ def _shave(img: np.ndarray, border: int) -> np.ndarray:
     return img
 
 
-def compute_psnr(image1: np.ndarray, image2: np.ndarray, border_size: int = 0) -> float:
-    image1, image2 = _prepare_pair(image1, image2, border_size)
+def _psnr_from_prepared(image1: np.ndarray, image2: np.ndarray) -> float:
     mse = np.mean((image1.astype(np.float64) - image2.astype(np.float64)) ** 2)
     return 10 * np.log10((255.0**2) / mse) if mse > 0 else float("inf")
+
+
+def compute_psnr(image1: np.ndarray, image2: np.ndarray, border_size: int = 0) -> float:
+    image1, image2 = _prepare_pair(image1, image2, border_size)
+    return _psnr_from_prepared(image1, image2)
 
 
 def _gaussian_window_1d(sigma: float = 1.5, truncate: float = 3.5) -> np.ndarray:
@@ -97,6 +101,10 @@ def _ssim_2d(
 
     radius = int(truncate * sigma + 0.5)
     pad = radius  # (win_size - 1) // 2 with win_size = 2*radius + 1 = 11
+    if s.shape[0] <= 2 * pad or s.shape[1] <= 2 * pad:
+        raise ValueError(
+            "image %s too small for SSIM window %d (skimage raises here too)"
+            % (s.shape, 2 * pad + 1))
     return float(s[pad:-pad, pad:-pad].mean())
 
 
@@ -128,9 +136,7 @@ def compute_psnr_and_ssim(
     if image1.shape != image2.shape:
         return None
     image1, image2 = _prepare_pair(image1, image2, border_size)
-
-    mse = np.mean((image1.astype(np.float64) - image2.astype(np.float64)) ** 2)
-    psnr = 10 * np.log10((255.0**2) / mse) if mse > 0 else float("inf")
+    psnr = _psnr_from_prepared(image1, image2)
 
     if image1.shape[2] == 1:
         ssim = _ssim_2d(image1[:, :, 0], image2[:, :, 0])

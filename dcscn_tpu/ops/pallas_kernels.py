@@ -65,10 +65,14 @@ def _gather_windows_pallas(img, row_starts, col_starts, win_h: int, win_w: int,
     n = row_starts.shape[0]
     c = img.shape[-1]
 
+    h_img, w_img = img.shape[0], img.shape[1]
+
     def kernel(rows_ref, cols_ref, img_ref, out_ref):
         i = pl.program_id(0)
-        r0 = rows_ref[i]
-        c0 = cols_ref[i]
+        # clamp like dynamic_slice so the TPU path bit-matches the XLA
+        # fallback even for out-of-range origins
+        r0 = jnp.clip(rows_ref[i], 0, h_img - win_h)
+        c0 = jnp.clip(cols_ref[i], 0, w_img - win_w)
 
         def body(sem):
             dma = pltpu.make_async_copy(

@@ -28,19 +28,21 @@ def initialize(coordinator_address: Optional[str] = None,
     explicit = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if explicit is None and os.environ.get("TPU_WORKER_HOSTNAMES", "") in ("", "localhost"):
         return False  # single host
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-        return jax.process_count() > 1
-    except Exception:
-        return False
+    # multi-host detected: a failed init must raise — silently degrading to
+    # independent single-host runs would train divergent models
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_count() > 1
 
 
 def host_local_batch_slice(global_batch: int) -> slice:
     """This host's slice of a globally-sharded minibatch."""
-    per_host = global_batch // jax.process_count()
+    n = jax.process_count()
+    if global_batch % n != 0:
+        raise ValueError("global batch %d not divisible by %d hosts" % (global_batch, n))
+    per_host = global_batch // n
     start = jax.process_index() * per_host
     return slice(start, start + per_host)

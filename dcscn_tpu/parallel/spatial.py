@@ -98,10 +98,8 @@ def spatial_forward_fn(cfg: Config, mesh: Mesh, halo: Optional[int] = None,
     def run(params, x, x2):
         return sharded(params, x, x2)
 
-    def place(arr, hr: bool = False):
-        return jax.device_put(
-            arr, NamedSharding(mesh, P("spatial", None, None))
-        )
+    def place(arr):
+        return jax.device_put(arr, NamedSharding(mesh, P("spatial", None, None)))
 
     run.place = place
     return run

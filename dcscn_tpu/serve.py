@@ -45,6 +45,8 @@ class SRService:
             image = image[:, :, None]
         if image.shape[2] >= 4:
             image = image[:, :, :3]
+        elif image.shape[2] == 2:  # gray+alpha: keep luminance only
+            image = image[:, :, 0:1]
 
         if image.shape[2] == 3:
             y = color.convert_rgb_to_y(image)
