@@ -55,15 +55,18 @@ def main():
         jax.device_get(forward(params, x, x2))
 
     # device_get (not block_until_ready) forces execution: the axon relay's
-    # block_until_ready returns before the remote execution completes
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        y = forward(params, x, x2)
-    jax.device_get(y)
-    dt = time.perf_counter() - t0
+    # block_until_ready returns before the remote execution completes.
+    # Best-of-3 repetitions: remote-tunnel runs have high variance.
+    best_dt = float("inf")
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            y = forward(params, x, x2)
+        jax.device_get(y)
+        best_dt = min(best_dt, time.perf_counter() - t0)
 
     hr_megapixels = n * (lr * s) ** 2 / 1e6 * args.iters
-    mp_s = hr_megapixels / dt
+    mp_s = hr_megapixels / best_dt
 
     print(json.dumps({
         "metric": "dcscn_L12_x2_sr_throughput",
