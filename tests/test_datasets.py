@@ -114,3 +114,42 @@ def test_device_transform_matches_host():
     np.testing.assert_allclose(np.asarray(x), host_x, atol=1e-3)
     np.testing.assert_allclose(np.asarray(x2), host_x2, atol=1e-3)
     np.testing.assert_array_equal(np.asarray(y), true)
+
+
+def test_dynamic_prefetch_restart_across_trials(image_dir):
+    """stop/start cycles (multi-trial training) must not leak stale workers
+    or deadlock (regression for the prefetch lifecycle races)."""
+    ds = datasets.DynamicDataset(2, 16, batch_num=2, prefetch_threads=2)
+    ds.set_data_dir(image_dir)
+    for trial in range(3):
+        ds.start_prefetch(seed=trial)
+        b = ds.next_crop_batch()
+        assert b.shape == (2, 32, 32, 1)
+        ds.stop_prefetch()
+    assert not any(t.is_alive() for t in ds._workers)
+
+
+def test_dynamic_undersized_images_error(tmp_path):
+    """All-too-small images must raise, not hang (regression)."""
+    import pytest as _pytest
+
+    from dcscn_tpu.utils import imaging as _imaging
+
+    d = tmp_path / "small"
+    d.mkdir()
+    _imaging.save_image(str(d / "tiny.png"),
+                        np.zeros((8, 8, 3), np.uint8), print_console=False)
+    ds = datasets.DynamicDataset(2, 16, batch_num=1)
+    ds.set_data_dir(str(d))
+    ds.start_prefetch()
+    with _pytest.raises(RuntimeError):
+        ds.next_crop_batch()
+
+
+def test_patch_dataset_empty_store_raises(tmp_path):
+    ds = datasets.PatchDataset(2, str(tmp_path / "b"), 16, 8)
+    ds.count = 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ds.epoch_indices(2, 4, np.random.default_rng(0))
