@@ -135,12 +135,16 @@ class Config:
     # use_nin=False (matches the shipped dcscn_L2_* checkpoints, whose Up-PS
     # consumes the skip-concat directly; inferred by the ckpt converter)
     mesh_data: int = 0  # data-parallel mesh size; 0 = all visible devices
-    mesh_spatial: int = 1  # spatial-parallel mesh size for tiled inference
+    mesh_spatial: int = 1  # spatial-parallel inference mesh (rows / tile batch)
     tile_size: int = 0  # LR tile size for tiled inference; 0 = whole image
     remat: bool = False  # jax.checkpoint the forward in training: recompute
     # activations in backward instead of storing them (trade FLOPs for HBM;
     # enables much larger batch/patch sizes)
     jit_cache_dir: str = ""  # persistent XLA compilation cache dir ("" = off)
+    platform: str = ""  # jax backend override ("cpu" to bypass the TPU
+    # plugin the machine's sitecustomize forces); "" = leave default
+    platform_devices: int = 0  # with --platform=cpu: number of virtual CPU
+    # devices (0 = 1), for exercising mesh paths without real chips
 
     # ------------------------------------------------------------------
     # Derived values (reference semantics)
@@ -314,10 +318,51 @@ _HELP = {
     "dtype": "Compute dtype [float32, bfloat16]",
     "batch_format": "On-disk patch store format [npz, bmp]",
     "mesh_data": "Data-parallel mesh size (0 = all visible devices)",
-    "mesh_spatial": "Spatial-parallel mesh size for tiled inference",
+    "mesh_spatial": "Spatial-parallel inference mesh size: whole-image rows "
+    "shard with halo exchange; in tile mode the tile batch shards across "
+    "the mesh",
     "tile_size": "LR tile size for tiled inference (0 = whole image)",
     "jit_cache_dir": "Persistent XLA compilation cache directory",
+    "platform": "JAX backend override (e.g. 'cpu'); empty = default",
+    "platform_devices": "Virtual CPU device count with --platform=cpu "
+    "(0 = 1); lets mesh paths run without real chips",
 }
+
+
+def apply_platform(cfg: "Config") -> None:
+    """Select the jax backend from --platform/--platform_devices.
+
+    Must run before the first jax operation: XLA_FLAGS and
+    jax_num_cpu_devices are only honored pre-initialization, and this
+    machine's sitecustomize forces the TPU plugin so env vars alone cannot
+    select CPU (see tests/conftest.py for the same bootstrap).
+    """
+    if not cfg.platform:
+        return
+    import os
+
+    os.environ["JAX_PLATFORMS"] = cfg.platform
+    if cfg.platform == "cpu" and cfg.platform_devices > 1:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=%d"
+                % cfg.platform_devices).strip()
+
+    import jax
+
+    jax.config.update("jax_platforms", cfg.platform)
+    if cfg.platform == "cpu" and cfg.platform_devices > 1:
+        try:
+            jax.config.update("jax_num_cpu_devices", cfg.platform_devices)
+        except Exception:  # already initialized: XLA_FLAGS had to do it
+            pass
+    try:
+        from jax.extend.backend import clear_backends
+
+        clear_backends()
+    except Exception:  # pragma: no cover - jax version fallback
+        pass
 
 
 def build_parser(extra_flags: Sequence[Tuple[str, type, object, str]] = ()) -> argparse.ArgumentParser:
@@ -360,4 +405,5 @@ def parse_args(
     ns = parser.parse_args(argv)
     cfg_fields = {f.name for f in dataclasses.fields(Config)}
     cfg = Config(**{k: v for k, v in vars(ns).items() if k in cfg_fields})
+    apply_platform(cfg)
     return cfg, ns

@@ -97,6 +97,21 @@ class InferenceEngine:
         self.compute_dtype = compute_dtype
         self._fns: Dict[Tuple, object] = {}
         self.halo_lr = dcscn.receptive_field_lr(cfg)
+        self._mesh = None
+        self.n_spatial = 1
+        if cfg.mesh_spatial > 1:
+            n_dev = len(jax.devices())
+            self.n_spatial = min(cfg.mesh_spatial, n_dev)
+            if self.n_spatial < cfg.mesh_spatial:
+                import logging
+
+                logging.warning(
+                    "mesh_spatial=%d but only %d devices visible; using %d"
+                    % (cfg.mesh_spatial, n_dev, self.n_spatial))
+            if self.n_spatial > 1:
+                from dcscn_tpu.parallel import mesh as mesh_mod
+
+                self._mesh = mesh_mod.make_mesh(1, self.n_spatial)
 
     # ------------------------------------------------------------------
     def _forward_fn(self, ensemble: int):
@@ -146,21 +161,39 @@ class InferenceEngine:
             self._fns[key] = fn
         return fn
 
-    def _dispatch(self, fn, *args, retries: int = 2):
+    def _dispatch(self, fn, *args, retries: int = 2, params=None):
         """Run a compiled forward with transient-failure retry. Remote TPU
         runtimes occasionally surface FAILED_PRECONDITION on an otherwise
         healthy program; params are immutable here so a retry is safe."""
         import jax.errors
 
+        if params is None:
+            params = self.params
         last = None
         for attempt in range(retries + 1):
             try:
-                return np.asarray(fn(self.params, *args))
+                return np.asarray(fn(params, *args))
             except jax.errors.JaxRuntimeError as e:  # pragma: no cover
                 last = e
                 if attempt < retries:
                     time.sleep(1.0 + attempt)
         raise last
+
+    def _spatial_mesh(self, n: int):
+        """A (1, n) mesh and params replicated over it (both cached)."""
+        cached = self._fns.get(("mesh", n))
+        if cached is None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from dcscn_tpu.parallel import mesh as mesh_mod
+
+            mesh = (self._mesh if self._mesh is not None and n == self.n_spatial
+                    else mesh_mod.make_mesh(1, n))
+            params = jax.device_put(jax.device_get(self.params),
+                                    NamedSharding(mesh, P()))
+            cached = (mesh, params)
+            self._fns[("mesh", n)] = cached
+        return cached
 
     # ------------------------------------------------------------------
     def run(
@@ -187,6 +220,8 @@ class InferenceEngine:
 
         if cfg.tile_size > 0:
             output = self._run_tiled(input_image, bicubic_input_image, ensemble)
+        elif self._mesh is not None:
+            output = self._run_spatial(input_image, bicubic_input_image, ensemble)
         else:
             output = self._run_whole(input_image, bicubic_input_image, ensemble)
 
@@ -208,6 +243,56 @@ class InferenceEngine:
             jnp.asarray(x2, jnp.float32)[None],
         )
         return out[0]
+
+    # ------------------------------------------------------------------
+    def _spatial_plan(self, h: int) -> Tuple[int, int]:
+        """Largest feasible spatial split (n, pad) for an H-row image:
+        n <= n_spatial devices, band = ceil(h/n), pad = n*band - h, subject
+        to the halo-exchange constraint band >= 2*halo + pad (and the window
+        fitting the image). n=1 means fall back to single-device whole."""
+        halo = self.halo_lr
+        for n in range(self.n_spatial, 1, -1):
+            band = math.ceil(h / n)
+            pad = n * band - h
+            if band >= 2 * halo + pad and h >= band + 2 * halo:
+                return n, pad
+        return 1, 0
+
+    def _run_spatial(self, x: np.ndarray, x2: np.ndarray, ensemble: int) -> np.ndarray:
+        """Whole-image inference with rows sharded over the spatial mesh
+        (halo exchange over ICI; bit-identical to single-device whole-image
+        — see parallel/spatial.py). Ensemble members run as flipped whole
+        images, same as tiled mode."""
+        if ensemble > 1:
+            acc = None
+            for i in range(ensemble):
+                xi = np.ascontiguousarray(flips.flip(x, i))
+                x2i = np.ascontiguousarray(flips.flip(x2, i))
+                yi = self._run_spatial(xi, x2i, 1)
+                yi = flips.flip(yi, i, invert=True)
+                acc = yi if acc is None else acc + yi
+            return acc / float(ensemble)
+
+        cfg = self.cfg
+        s = cfg.scale
+        h, w = x.shape[:2]
+        n, pad = self._spatial_plan(h)
+        if n <= 1:
+            return self._run_whole(x, x2, 1)
+
+        from dcscn_tpu.parallel import spatial as spatial_mod
+
+        mesh, params = self._spatial_mesh(n)
+        fn = self._get_fn(
+            ("spatial", n, pad, h, w),
+            lambda: spatial_mod.spatial_forward_fn(
+                cfg, mesh, halo=self.halo_lr, compute_dtype=self.compute_dtype,
+                bn_state=self.bn_state, pad=pad))
+        xp = np.pad(x, ((0, pad), (0, 0), (0, 0))) if pad else x
+        x2p = np.pad(x2, ((0, pad * s), (0, 0), (0, 0))) if pad else x2
+        out = self._dispatch(fn, jnp.asarray(xp, jnp.float32),
+                             jnp.asarray(x2p, jnp.float32), params=params)
+        return out[: h * s]
 
     # ------------------------------------------------------------------
     def _run_tiled(self, x: np.ndarray, x2: np.ndarray, ensemble: int) -> np.ndarray:
@@ -245,6 +330,9 @@ class InferenceEngine:
         # bucket the tile count so every image reuses one compiled program;
         # padded slots re-gather window (0, 0) (in-bounds, discarded)
         n_pad = _bucket(n)
+        if self.n_spatial > 1:
+            # tile batch shards across the mesh: pad count to a multiple
+            n_pad = -(-n_pad // self.n_spatial) * self.n_spatial
         origin_arr = np.zeros((n_pad, 2), np.int32)
         origin_arr[:n] = np.asarray(origins, np.int32)
 
@@ -259,8 +347,18 @@ class InferenceEngine:
         batch = pallas_kernels.gather_windows(x_dev, rows_i, cols_i, win_h, win_w)
         batch2 = pallas_kernels.gather_windows(
             x2_dev, rows_i * s, cols_i * s, win_h * s, win_w * s)
+        params = None
+        if self.n_spatial > 1:
+            # independent tiles = embarrassing parallelism: shard the tile
+            # batch over the mesh so each device runs n_pad/n tiles
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            mesh, params = self._spatial_mesh(self.n_spatial)
+            shard = NamedSharding(mesh, P("spatial", None, None, None))
+            batch = jax.device_put(batch, shard)
+            batch2 = jax.device_put(batch2, shard)
         fn = self._get_fn(("fwd", n_pad, win_h, win_w), lambda: self._forward_fn(1))
-        out = self._dispatch(fn, batch, batch2)[:n]
+        out = self._dispatch(fn, batch, batch2, params=params)[:n]
 
         result = np.zeros((h * s, w * s, 1), dtype=np.float32)
         for tile_out, (ws_r, a_r, b_r, ws_c, a_c, b_c) in zip(out, slots):

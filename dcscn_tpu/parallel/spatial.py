@@ -38,44 +38,67 @@ from dcscn_tpu.models import dcscn
 
 
 def spatial_forward_fn(cfg: Config, mesh: Mesh, halo: Optional[int] = None,
-                       compute_dtype=jnp.float32, bn_state=None):
-    """Build a jitted fn (params, x [H,W,1], x2 [H*s,W*s,1]) -> [H*s,W*s,1]
+                       compute_dtype=jnp.float32, bn_state=None,
+                       pad: int = 0):
+    """Build a jitted fn (params, x [Hp,W,1], x2 [Hp*s,W*s,1]) -> [Hp*s,W*s,1]
     with rows of x/x2/output sharded over the 'spatial' mesh axis.
 
-    Requires H % n_spatial == 0 and band >= 2*halo (callers pad/choose
-    accordingly; engine-level drivers handle ragged sizes with tiles).
+    Requires Hp % n_spatial == 0 and band >= 2*halo + pad.
+
+    Ragged heights: callers pad the image bottom with `pad` arbitrary rows to
+    reach Hp = H + pad (a band multiple); pass that `pad` here. The last
+    device's compute window is shifted upward so it ends exactly at the TRUE
+    bottom border (global row H) — padded rows never enter any window, so the
+    first H*s output rows are bit-identical to the whole-image run and the
+    final pad*s rows are garbage the caller drops. pad=0 reproduces the
+    original exact scheme. (Same shifted-window trick as engine._tile_plan.)
     """
     s = cfg.scale
     if halo is None:
         halo = dcscn.receptive_field_lr(cfg)
     n_sp = mesh.shape["spatial"]
+    if pad < 0:
+        raise ValueError("pad must be >= 0")
 
     def shard_body(params, x, x2):
         # x: this device's band [hb, W, 1]; x2: [hb*s, W*s, 1]
         if n_sp == 1:
             # degenerate mesh: no neighbors — wraparound halos would splice
             # the image's own rows; just run the whole image
+            if pad:
+                y, _ = dcscn.apply(params, x[None, : x.shape[0] - pad],
+                                   x2[None, : (x.shape[0] - pad) * s], cfg,
+                                   training=False, bn_state=bn_state,
+                                   compute_dtype=compute_dtype)
+                return jnp.pad(y[0], ((0, pad * s), (0, 0), (0, 0)))
             y, _ = dcscn.apply(params, x[None], x2[None], cfg, training=False,
                                bn_state=bn_state, compute_dtype=compute_dtype)
             return y[0]
         idx = jax.lax.axis_index("spatial")
         hb = x.shape[0]
+        if hb < 2 * halo + pad:
+            raise ValueError(
+                "spatial band %d rows < 2*halo + pad = %d; use fewer devices"
+                % (hb, 2 * halo + pad))
         win = hb + 2 * halo
+        e = 2 * halo + pad  # rows exchanged with each neighbor
 
-        def exchange(block, h):
-            """ext = [prev's bottom 2h rows, block, next's top 2h rows]."""
+        def exchange(block, ee):
+            """ext = [prev's bottom ee rows, block, next's top ee rows]."""
             fwd = [(i, (i + 1) % n_sp) for i in range(n_sp)]
             bwd = [(i, (i - 1) % n_sp) for i in range(n_sp)]
-            from_prev = jax.lax.ppermute(block[-2 * h :], "spatial", fwd)
-            from_next = jax.lax.ppermute(block[: 2 * h], "spatial", bwd)
+            from_prev = jax.lax.ppermute(block[-ee:], "spatial", fwd)
+            from_next = jax.lax.ppermute(block[:ee], "spatial", bwd)
             return jnp.concatenate([from_prev, block, from_next], axis=0)
 
-        ext = exchange(x, halo)          # [hb + 4*halo, W, 1]
-        ext2 = exchange(x2, halo * s)    # [(hb + 4*halo)*s, W*s, 1]
+        ext = exchange(x, e)          # [hb + 2*e, W, 1]
+        ext2 = exchange(x2, e * s)    # [(hb + 2*e)*s, W*s, 1]
 
-        # window offset within ext: interior=halo, first=2*halo (start at
-        # true top border), last=0 (end at true bottom border)
-        off = jnp.where(idx == 0, 2 * halo, jnp.where(idx == n_sp - 1, 0, halo))
+        # window offset within ext (ext starts at global idx*hb - e):
+        # interior = e - halo (window starts halo above the owned band),
+        # first = e (start at true top border, global row 0),
+        # last = 0 (window ends at true bottom border, global row H)
+        off = jnp.where(idx == 0, e, jnp.where(idx == n_sp - 1, 0, e - halo))
         win_x = jax.lax.dynamic_slice_in_dim(ext, off, win, axis=0)
         win_x2 = jax.lax.dynamic_slice_in_dim(ext2, off * s, win * s, axis=0)
 
@@ -83,9 +106,17 @@ def spatial_forward_fn(cfg: Config, mesh: Mesh, halo: Optional[int] = None,
                            training=False, bn_state=bn_state,
                            compute_dtype=compute_dtype)
 
-        # owned rows within the window: global own start - window start
-        own_off = jnp.where(idx == 0, 0, jnp.where(idx == n_sp - 1, 2 * halo, halo))
-        return jax.lax.dynamic_slice_in_dim(y[0], own_off * s, hb * s, axis=0)
+        # owned rows within the window: global own start - window start.
+        # The last device owns hb rows of which the final `pad` are fake;
+        # its slice [2*halo + pad, 2*halo + pad + hb) overruns the window by
+        # `pad` rows — pad y's bottom so those rows exist (garbage, dropped
+        # by the caller) without dynamic_slice clamping shifting the start.
+        own_off = jnp.where(idx == 0, 0,
+                            jnp.where(idx == n_sp - 1, 2 * halo + pad, halo))
+        y0 = y[0]
+        if pad:
+            y0 = jnp.pad(y0, ((0, pad * s), (0, 0), (0, 0)))
+        return jax.lax.dynamic_slice_in_dim(y0, own_off * s, hb * s, axis=0)
 
     sharded = shard_map(
         shard_body,

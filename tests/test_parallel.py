@@ -98,3 +98,50 @@ def test_spatial_forward_uses_all_devices():
     fn = spatial.spatial_forward_fn(cfg, m, halo=halo)
     out = fn(params, jnp.asarray(x), jnp.asarray(x2))
     assert out.shape == (h * 2, 64, 1)
+
+
+@pytest.mark.parametrize("h", [8 * 16 - 3, 8 * 16 - 2, 8 * 16 + 5])
+def test_spatial_sharded_forward_ragged_height(h):
+    """Ragged H: bottom-padded input + shifted last window stays bit-close
+    to the whole-image run on the true rows (parallel/spatial.py pad path)."""
+    cfg = CFG
+    params = dcscn.init_params(jax.random.PRNGKey(1), cfg)
+    n = 8
+    halo = dcscn.receptive_field_lr(cfg)
+    band = -(-h // n)
+    pad = n * band - h
+    assert band >= 2 * halo + pad, "test sizes must satisfy the constraint"
+    w = 24
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 255, (h, w, 1)).astype(np.float32)
+    from dcscn_tpu.ops import resize as resize_ops
+
+    x2 = resize_ops.resize_image(x, cfg.scale).astype(np.float32)
+
+    whole, _ = dcscn.apply(params, jnp.asarray(x)[None], jnp.asarray(x2)[None], cfg)
+    whole = np.asarray(whole[0])
+
+    m = mesh_mod.make_mesh(1, n)
+    fn = spatial.spatial_forward_fn(cfg, m, halo=halo, pad=pad)
+    s = cfg.scale
+    xp = np.pad(x, ((0, pad), (0, 0), (0, 0)))
+    x2p = np.pad(x2, ((0, pad * s), (0, 0), (0, 0)))
+    sharded = np.asarray(fn(params, jnp.asarray(xp), jnp.asarray(x2p)))[: h * s]
+
+    np.testing.assert_allclose(sharded, whole, rtol=1e-5, atol=5e-4)
+
+
+@pytest.mark.parametrize("tile_size", [0, 16])
+def test_engine_mesh_spatial_matches_single_device(tile_size):
+    """mesh_spatial=8 engine output equals the single-device engine output
+    (whole-image halo-exchange mode and sharded-tile-batch mode)."""
+    from dcscn_tpu.engine import InferenceEngine
+
+    cfg = CFG.replace(tile_size=tile_size, self_ensemble=2)
+    params = jax.device_get(dcscn.init_params(jax.random.PRNGKey(2), cfg))
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 255, (61, 37, 1)).astype(np.float32)
+
+    ref = InferenceEngine(params, cfg).run(x)
+    par = InferenceEngine(params, cfg.replace(mesh_spatial=8)).run(x)
+    np.testing.assert_allclose(par, ref, rtol=1e-5, atol=5e-4)
