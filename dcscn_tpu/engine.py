@@ -154,6 +154,63 @@ class InferenceEngine:
 
         return jax.jit(fwd_ens)
 
+    def _tiled_ensemble_fn(self, ensemble: int):
+        """Jitted fn (params, batch [N,h,w,1], batch2 [N,H,W,1]) ->
+        ensemble-averaged per-tile outputs [N,H,W,1] in ONE dispatch.
+
+        The 8 dihedral variants of each *window* are generated on device and
+        consumed by a `lax.scan` over the ensemble index (model traced once);
+        this replaces the 8 sequential tiled passes of flip-whole-image
+        ensembling (reference loop: DCSCN.py:559-573) with a single compiled
+        call. Exactness: a dihedral transform of a shifted window of the
+        image IS a shifted window of the transformed image (borders map to
+        borders), so per-window ensembling equals whole-image ensembling.
+        Requires square windows when ensemble > 4 (transposed members)."""
+        cfg = self.cfg
+        cdt = self.compute_dtype
+        bn = self.bn_state
+
+        def _t(v):
+            return jnp.transpose(v, (0, 2, 1, 3))
+
+        # forward dihedral transforms on an [N,H,W,C] batch (axes 1,2), same
+        # tables as ops/flips.py for single images
+        fwd_branches = [
+            lambda v: v,
+            lambda v: v[:, ::-1],
+            lambda v: v[:, :, ::-1],
+            lambda v: v[:, ::-1, ::-1],
+            lambda v: _t(v)[:, ::-1],        # rot90
+            lambda v: _t(v)[:, :, ::-1],     # rot90(-1)
+            lambda v: _t(v),                 # flipud(rot90)
+            lambda v: _t(v)[:, ::-1, ::-1],  # flipud(rot90(-1))
+        ]
+        inv_branches = [
+            lambda v: v,
+            lambda v: v[:, ::-1],
+            lambda v: v[:, :, ::-1],
+            lambda v: v[:, ::-1, ::-1],
+            lambda v: _t(v)[:, :, ::-1],
+            lambda v: _t(v)[:, ::-1],
+            lambda v: _t(v),
+            lambda v: _t(v[:, ::-1, ::-1]),
+        ]
+
+        def fwd(params, batch, batch2):
+            def body(acc, i):
+                xi = jax.lax.switch(i, fwd_branches, batch)
+                x2i = jax.lax.switch(i, fwd_branches, batch2)
+                yi, _ = dcscn.apply(params, xi, x2i, cfg, training=False,
+                                    bn_state=bn, compute_dtype=cdt)
+                return acc + jax.lax.switch(i, inv_branches, yi), None
+
+            acc, _ = jax.lax.scan(
+                body, jnp.zeros(batch2.shape, batch2.dtype),
+                jnp.arange(ensemble, dtype=jnp.int32))
+            return acc / float(ensemble)
+
+        return jax.jit(fwd)
+
     def _get_fn(self, key, builder):
         fn = self._fns.get(key)
         if fn is None:
@@ -296,19 +353,11 @@ class InferenceEngine:
 
     # ------------------------------------------------------------------
     def _run_tiled(self, x: np.ndarray, x2: np.ndarray, ensemble: int) -> np.ndarray:
-        """Exact tiled inference; ensemble members are tiled independently
-        (flip the whole image, tile, un-flip) so results equal whole-image
-        ensemble output."""
-        if ensemble > 1:
-            acc = None
-            for i in range(ensemble):
-                xi = flips.flip(x, i)
-                x2i = flips.flip(x2, i)
-                yi = self._run_tiled(np.ascontiguousarray(xi), np.ascontiguousarray(x2i), 1)
-                yi = flips.flip(yi, i, invert=True)
-                acc = yi if acc is None else acc + yi
-            return acc / float(ensemble)
-
+        """Exact tiled inference. Ensemble members are generated per-WINDOW
+        on device and fused into the same dispatch (`_tiled_ensemble_fn`);
+        the result equals whole-image ensemble output (see that docstring).
+        Non-square windows with transposed members (ensemble > 4) fall back
+        to per-member tiled passes (flip whole image, tile, un-flip)."""
         cfg = self.cfg
         s = cfg.scale
         halo = self.halo_lr
@@ -318,6 +367,18 @@ class InferenceEngine:
         cols = _tile_plan(w, interior, halo)
         win_h = min(h, interior + 2 * halo)
         win_w = min(w, interior + 2 * halo)
+
+        if ensemble > 4 and win_h != win_w:
+            # transposed members change the window shape: per-member passes
+            acc = None
+            for i in range(ensemble):
+                xi = flips.flip(x, i)
+                x2i = flips.flip(x2, i)
+                yi = self._run_tiled(np.ascontiguousarray(xi),
+                                     np.ascontiguousarray(x2i), 1)
+                yi = flips.flip(yi, i, invert=True)
+                acc = yi if acc is None else acc + yi
+            return acc / float(ensemble)
 
         slots = []
         origins = []
@@ -357,7 +418,11 @@ class InferenceEngine:
             shard = NamedSharding(mesh, P("spatial", None, None, None))
             batch = jax.device_put(batch, shard)
             batch2 = jax.device_put(batch2, shard)
-        fn = self._get_fn(("fwd", n_pad, win_h, win_w), lambda: self._forward_fn(1))
+        if ensemble > 1:
+            fn = self._get_fn(("tens", n_pad, win_h, win_w, ensemble),
+                              lambda: self._tiled_ensemble_fn(ensemble))
+        else:
+            fn = self._get_fn(("fwd", n_pad, win_h, win_w), lambda: self._forward_fn(1))
         out = self._dispatch(fn, batch, batch2, params=params)[:n]
 
         result = np.zeros((h * s, w * s, 1), dtype=np.float32)

@@ -97,6 +97,38 @@ def test_tiled_equals_whole_with_ensemble():
     np.testing.assert_allclose(tiled, whole, rtol=1e-4, atol=1e-3)
 
 
+def test_tiled_fused_ensemble8_equals_whole():
+    """x8 ensemble in tiled mode runs as ONE dispatch (per-window dihedral
+    variants via lax.scan) and still equals the whole-image ensemble, on a
+    non-square image whose windows are square."""
+    cfg = CFG.replace(scale=3, self_ensemble=8)
+    eng = _make_engine(cfg, seed=3)
+    rng = np.random.default_rng(4)
+    x = rng.uniform(0, 255, (45, 61, 1)).astype(np.float32)
+    x2 = resize_ops.resize_image(x, 3)
+    whole = eng.run(x, x2)
+    eng_t = InferenceEngine(eng.params, cfg.replace(tile_size=16))
+    tiled = eng_t.run(x, x2)
+    # the fused path must actually be taken (square windows)
+    assert any(k[0] == "tens" for k in eng_t._fns)
+    np.testing.assert_allclose(tiled, whole, rtol=1e-4, atol=1e-3)
+
+
+def test_tiled_ensemble8_nonsquare_window_fallback():
+    """A skinny image (window h != w) with transposed ensemble members takes
+    the per-member fallback and still equals the whole-image ensemble."""
+    cfg = CFG.replace(scale=2, self_ensemble=8)
+    eng = _make_engine(cfg, seed=5)
+    rng = np.random.default_rng(6)
+    x = rng.uniform(0, 255, (12, 61, 1)).astype(np.float32)
+    x2 = resize_ops.resize_image(x, 2)
+    whole = eng.run(x, x2)
+    eng_t = InferenceEngine(eng.params, cfg.replace(tile_size=16))
+    tiled = eng_t.run(x, x2)
+    assert not any(k[0] == "tens" for k in eng_t._fns)
+    np.testing.assert_allclose(tiled, whole, rtol=1e-4, atol=1e-3)
+
+
 def test_max_value_rescale():
     cfg = CFG.replace(max_value=1.0, initializer="zero")
     eng = _make_engine(cfg)
