@@ -1,0 +1,119 @@
+"""Quantify the deviation between our SSIM and the reference's literal SSIM.
+
+The reference reshapes (H, W, 1) Y images to 2-D and calls old scikit-image's
+``structural_similarity(..., multichannel=True)`` (helper/utilty.py:529-535).
+On a 2-D input, multichannel mode treats the LAST axis (image width!) as
+channels: it computes a 1-D gaussian-weighted SSIM along H for every column
+and averages the W column scores. That is a bug in the reference — the
+intended metric is the 2-D gaussian SSIM, which is what
+`dcscn_tpu.ops.metrics` implements (documented deviation, metrics.py:10-16).
+
+This test reimplements the reference's literal behavior (old skimage
+semantics: gaussian window sigma=1.5 truncate=3.5 -> win 11, sample
+covariance NP/(NP-1) with NP=11 for 1-D, scipy 'reflect' padding, pad-crop
+mean) and measures |ours - literal| on real model outputs, so the shipped
+SSIM numbers are auditable against reference-produced numbers within a
+stated bound. The measured deltas are recorded in PARITY.md.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from scipy import ndimage
+
+from dcscn_tpu.ops import metrics
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CKPT = os.path.join(REPO, "models", "dcscn_L7_F32to8_G1.20_NIN_A24_B8_PS_R1F32.ckpt.npz")
+SET5 = os.path.join(REPO, "data", "set5")
+
+
+def _ssim_1d_skimage(x: np.ndarray, y: np.ndarray, data_range: float = 255.0,
+                     sigma: float = 1.5, truncate: float = 3.5,
+                     k1: float = 0.01, k2: float = 0.03) -> float:
+    """Old scikit-image structural_similarity on 1-D signals with
+    gaussian_weights=True and the default use_sample_covariance=True
+    (win_size 11 -> NP = 11, cov_norm = NP / (NP - 1))."""
+    x = x.astype(np.float64)
+    y = y.astype(np.float64)
+
+    def filt(a):
+        return ndimage.gaussian_filter1d(a, sigma=sigma, truncate=truncate,
+                                         mode="reflect")
+
+    radius = int(truncate * sigma + 0.5)
+    win = 2 * radius + 1
+    cov_norm = win / (win - 1.0)
+
+    ux, uy = filt(x), filt(y)
+    uxx, uyy, uxy = filt(x * x), filt(y * y), filt(x * y)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / (
+        (ux * ux + uy * uy + c1) * (vx + vy + c2))
+    return float(s[radius:-radius].mean())
+
+
+def reference_literal_ssim(image1: np.ndarray, image2: np.ndarray,
+                           border_size: int = 0) -> float:
+    """The value the reference's compute_psnr_and_ssim actually returns for
+    Y images (helper/utilty.py:509-536): round/clip/shave, squeeze to 2-D,
+    then multichannel SSIM = mean of per-COLUMN 1-D SSIMs along H."""
+    a, b = metrics._prepare_pair(image1, image2, border_size)
+    a, b = a[:, :, 0], b[:, :, 0]
+    return float(np.mean([_ssim_1d_skimage(a[:, c], b[:, c])
+                          for c in range(a.shape[1])]))
+
+
+def test_literal_ssim_identity_and_ordering():
+    rng = np.random.default_rng(0)
+    a = rng.uniform(0, 255, (64, 48, 1)).astype(np.float32)
+    assert reference_literal_ssim(a, a) == pytest.approx(1.0)
+    noisy = a + rng.normal(0, 20, a.shape).astype(np.float32)
+    noisier = a + rng.normal(0, 60, a.shape).astype(np.float32)
+    s1 = reference_literal_ssim(a, noisy)
+    s2 = reference_literal_ssim(a, noisier)
+    assert 0 < s2 < s1 < 1.0
+
+
+@pytest.mark.skipif(not os.path.isfile(CKPT), reason="converted ckpt not present")
+@pytest.mark.skipif(not os.path.isdir(SET5), reason="set5 not present")
+def test_ssim_deviation_bounded_on_real_outputs():
+    """On >=3 real SR outputs, ours (2-D SSIM) and the reference's literal
+    column-average SSIM must agree within 0.02 absolute — the auditable
+    bound for comparing our reported SSIM against reference-reported SSIM."""
+    from dcscn_tpu.config import Config
+    from dcscn_tpu.data import builders
+    from dcscn_tpu.engine import InferenceEngine
+    from dcscn_tpu.io import checkpoint as ckpt_io
+    from dcscn_tpu.ops import color, patches
+    from dcscn_tpu.ops import resize as resize_ops
+    from dcscn_tpu.utils import imaging
+
+    cfg = Config(layers=7, filters=32, min_filters=8, filters_decay_gamma=1.2,
+                 nin_filters=24, nin_filters2=8, pixel_shuffler_filters=1,
+                 self_ensemble=1, dropout_rate=0.8)
+    tree = ckpt_io.load_params(CKPT)
+    engine = InferenceEngine(tree["params"], cfg)
+
+    files = sorted(os.listdir(SET5))[:3]
+    assert len(files) >= 3
+    deltas = []
+    for fname in files:
+        true_image = patches.set_image_alignment(
+            imaging.load_image(os.path.join(SET5, fname), print_console=False), 2)
+        input_y = builders.build_input_image(true_image, channels=1, scale=2,
+                                             alignment=2, convert_ycbcr=True)
+        true_y = color.convert_rgb_to_y(true_image)
+        bicubic_y = resize_ops.resize_image(input_y, 2)
+        output = engine.run(input_y, bicubic_y)
+
+        _, ours = metrics.compute_psnr_and_ssim(true_y, output, border_size=2)
+        literal = reference_literal_ssim(true_y, output, border_size=2)
+        deltas.append(abs(ours - literal))
+
+    assert max(deltas) < 0.02, "SSIM deviation exceeds documented bound: %s" % deltas
