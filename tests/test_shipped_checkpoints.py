@@ -1,6 +1,9 @@
-"""End-to-end guard on the shipped converted checkpoints: loading the L7
-c-DCSCN weights and super-resolving a real set5 image must beat bicubic."""
+"""End-to-end guards on the shipped converted checkpoints: every loadable
+reference model (converted by tools/convert_tf_checkpoint.py) must hit a
+measured single-image PSNR floor, so converter or model regressions are
+caught in CI rather than at full-eval time."""
 
+import dataclasses
 import os
 
 import numpy as np
@@ -9,6 +12,62 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CKPT = os.path.join(REPO, "models", "dcscn_L7_F32to8_G1.20_NIN_A24_B8_PS_R1F32.ckpt.npz")
 IMAGE = os.path.join(REPO, "data", "set5", "img_003_SRF_2_HR.png")
+
+# measured on data/set5/img_001.png, whole-image, ensemble=1, CPU backend
+# (floors are measurement - 0.25 dB headroom); the L2 models are the
+# reference's 4-filter smoke models and legitimately trail bicubic
+_CKPT_FLOORS = {
+    "dcscn_L7_F32to8_G1.20_NIN_A24_B8_PS_R1F32": 38.39,       # meas 38.644
+    "dcscn_L7_F32to8_G1.20_Sc3_NIN_A24_B8_PS_R1F32": 35.15,   # meas 35.401
+    "dcscn_L7_F32to8_G1.20_Sc4_NIN_A24_B8_PS_R1F32": 33.18,   # meas 33.429
+    "dcscn_L7_F32to8_G1.20_Sc4_NIN_A24_B8_PS_DS_R1F32": 32.65,  # meas 32.901
+    "dcscn_L2_F4to4_PS_R1F4": 31.22,                          # meas 31.472
+    "dcscn_L2_F4to4_Sc4_PS_R1F4": 30.97,                      # meas 31.219
+}
+
+
+def _run_single_image(ckpt_name):
+    from dcscn_tpu.config import Config
+    from dcscn_tpu.data import builders
+    from dcscn_tpu.engine import InferenceEngine
+    from dcscn_tpu.io import checkpoint as ckpt_io
+    from dcscn_tpu.ops import color, metrics, patches
+    from dcscn_tpu.ops import resize as resize_ops
+    from dcscn_tpu.utils import imaging
+
+    path = os.path.join(REPO, "models", ckpt_name + ".ckpt.npz")
+    meta = ckpt_io.load_meta(path)
+    fields = {f.name for f in dataclasses.fields(Config)}
+    cfg = Config(**{k: v for k, v in meta["config"].items() if k in fields})
+    cfg = cfg.replace(self_ensemble=1, tile_size=0, mesh_spatial=1)
+    s = cfg.scale
+
+    tree = ckpt_io.load_params(path)
+    engine = InferenceEngine(tree.get("params", tree), cfg,
+                             bn_state=tree.get("bn_state"))
+    img = patches.set_image_alignment(
+        imaging.load_image(os.path.join(REPO, "data", "set5", "img_001.png"),
+                           print_console=False), s)
+    input_y = builders.build_input_image(img, channels=1, scale=s,
+                                         alignment=s, convert_ycbcr=True)
+    true_y = color.convert_rgb_to_y(img)
+    bicubic_y = resize_ops.resize_image(input_y, s)
+    output = engine.run(input_y, bicubic_y)
+    psnr, _ = metrics.compute_psnr_and_ssim(true_y, output, border_size=s)
+    return psnr
+
+
+@pytest.mark.parametrize("ckpt_name", sorted(_CKPT_FLOORS))
+def test_converted_checkpoint_psnr_floor(ckpt_name):
+    path = os.path.join(REPO, "models", ckpt_name + ".ckpt.npz")
+    if not os.path.isfile(path):
+        pytest.skip("converted ckpt %s not present" % ckpt_name)
+    if not os.path.isfile(os.path.join(REPO, "data", "set5", "img_001.png")):
+        pytest.skip("set5 not present")
+    psnr = _run_single_image(ckpt_name)
+    floor = _CKPT_FLOORS[ckpt_name]
+    assert psnr >= floor, (
+        "%s regressed: img_001 PSNR %.3f < floor %.2f" % (ckpt_name, psnr, floor))
 
 
 def _any_set5_image():
