@@ -154,18 +154,22 @@ class InferenceEngine:
 
         return jax.jit(fwd_ens)
 
-    def _tiled_ensemble_fn(self, ensemble: int):
-        """Jitted fn (params, batch [N,h,w,1], batch2 [N,H,W,1]) ->
-        ensemble-averaged per-tile outputs [N,H,W,1] in ONE dispatch.
+    def _tiled_fn(self, ensemble: int, own_h: int, own_w: int):
+        """Jitted fn (params, batch [N,h,w,1], batch2 [N,H,W,1], offs [N,2])
+        -> per-tile ensembled outputs cropped to their OWNED regions
+        [N, own_h, own_w, 1] (HR units), all in ONE dispatch.
 
-        The 8 dihedral variants of each *window* are generated on device and
-        consumed by a `lax.scan` over the ensemble index (model traced once);
-        this replaces the 8 sequential tiled passes of flip-whole-image
-        ensembling (reference loop: DCSCN.py:559-573) with a single compiled
-        call. Exactness: a dihedral transform of a shifted window of the
-        image IS a shifted window of the transformed image (borders map to
-        borders), so per-window ensembling equals whole-image ensembling.
-        Requires square windows when ensemble > 4 (transposed members)."""
+        Two fusions relative to the reference loop (DCSCN.py:559-573):
+        - the 8 dihedral variants of each *window* are generated on device
+          and consumed by a `lax.scan` over the ensemble index (model traced
+          once). Exactness: a dihedral transform of a shifted window of the
+          image IS a shifted window of the transformed image (borders map to
+          borders), so per-window ensembling equals whole-image ensembling.
+          Requires square windows when ensemble > 4 (transposed members).
+        - each tile's owned output region is cropped on device (offs are
+          per-tile HR offsets into the window), so only own_h*own_w pixels
+          per tile cross the device->host link instead of the whole halo'd
+          window (~3x less transfer at tile 48 / L12 halo)."""
         cfg = self.cfg
         cdt = self.compute_dtype
         bn = self.bn_state
@@ -196,7 +200,19 @@ class InferenceEngine:
             lambda v: _t(v[:, ::-1, ::-1]),
         ]
 
-        def fwd(params, batch, batch2):
+        def crop_own(out, offs):
+            def one(o, t):
+                return jax.lax.dynamic_slice(
+                    t, (o[0], o[1], 0), (own_h, own_w, t.shape[-1]))
+
+            return jax.vmap(one)(offs, out)
+
+        def fwd(params, batch, batch2, offs):
+            if ensemble <= 1:
+                y, _ = dcscn.apply(params, batch, batch2, cfg, training=False,
+                                   bn_state=bn, compute_dtype=cdt)
+                return crop_own(y, offs)
+
             def body(acc, i):
                 xi = jax.lax.switch(i, fwd_branches, batch)
                 x2i = jax.lax.switch(i, fwd_branches, batch2)
@@ -207,7 +223,7 @@ class InferenceEngine:
             acc, _ = jax.lax.scan(
                 body, jnp.zeros(batch2.shape, batch2.dtype),
                 jnp.arange(ensemble, dtype=jnp.int32))
-            return acc / float(ensemble)
+            return crop_own(acc / float(ensemble), offs)
 
         return jax.jit(fwd)
 
@@ -380,12 +396,22 @@ class InferenceEngine:
                 acc = yi if acc is None else acc + yi
             return acc / float(ensemble)
 
+        # uniform owned regions: every tile owns an own_h x own_w block with
+        # clamped start o = min(a, size - own) — border tiles' blocks overlap
+        # their neighbor's, but overlapping pixels are bit-identical (both
+        # windows reproduce the whole-image value), so writes commute
+        own_h = min(interior, h)
+        own_w = min(interior, w)
         slots = []
         origins = []
+        offs = []
         for ws_r, a_r, b_r in rows:
             for ws_c, a_c, b_c in cols:
+                o_r = max(min(a_r, h - own_h), 0)
+                o_c = max(min(a_c, w - own_w), 0)
                 origins.append((ws_r, ws_c))
-                slots.append((ws_r, a_r, b_r, ws_c, a_c, b_c))
+                offs.append((s * (o_r - ws_r), s * (o_c - ws_c)))
+                slots.append((o_r, o_c))
 
         n = len(slots)
         # bucket the tile count so every image reuses one compiled program;
@@ -396,6 +422,8 @@ class InferenceEngine:
             n_pad = -(-n_pad // self.n_spatial) * self.n_spatial
         origin_arr = np.zeros((n_pad, 2), np.int32)
         origin_arr[:n] = np.asarray(origins, np.int32)
+        offs_arr = np.zeros((n_pad, 2), np.int32)
+        offs_arr[:n] = np.asarray(offs, np.int32)
 
         # windows are assembled ON DEVICE: one linear image upload, then a
         # Pallas HBM->VMEM gather (XLA dynamic_slice fallback off-TPU)
@@ -418,18 +446,20 @@ class InferenceEngine:
             shard = NamedSharding(mesh, P("spatial", None, None, None))
             batch = jax.device_put(batch, shard)
             batch2 = jax.device_put(batch2, shard)
-        if ensemble > 1:
-            fn = self._get_fn(("tens", n_pad, win_h, win_w, ensemble),
-                              lambda: self._tiled_ensemble_fn(ensemble))
-        else:
-            fn = self._get_fn(("fwd", n_pad, win_h, win_w), lambda: self._forward_fn(1))
-        out = self._dispatch(fn, batch, batch2, params=params)[:n]
+        fn = self._get_fn(
+            ("tile", n_pad, win_h, win_w, ensemble, own_h, own_w),
+            lambda: self._tiled_fn(ensemble, s * own_h, s * own_w))
+        offs_dev = jnp.asarray(offs_arr)
+        if params is not None:
+            # keep all operands on the mesh's device set
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            mesh, _ = self._spatial_mesh(self.n_spatial)
+            offs_dev = jax.device_put(
+                offs_dev, NamedSharding(mesh, P("spatial", None)))
+        out = self._dispatch(fn, batch, batch2, offs_dev, params=params)[:n]
 
         result = np.zeros((h * s, w * s, 1), dtype=np.float32)
-        for tile_out, (ws_r, a_r, b_r, ws_c, a_c, b_c) in zip(out, slots):
-            rr = slice(s * a_r, s * b_r)
-            cc = slice(s * a_c, s * b_c)
-            result[rr, cc, :] = tile_out[
-                s * (a_r - ws_r) : s * (b_r - ws_r), s * (a_c - ws_c) : s * (b_c - ws_c), :
-            ]
+        for tile_out, (o_r, o_c) in zip(out, slots):
+            result[s * o_r : s * (o_r + own_h), s * o_c : s * (o_c + own_w), :] = tile_out
         return result

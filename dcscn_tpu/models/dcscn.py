@@ -369,6 +369,14 @@ def apply(
     # never materialized (it is pure HBM traffic: written once, read by both
     # A1 and B1). Only for dense 1x1 consumers.
     fuse_concat = cfg.fused_nin and not cfg.depthwise_separable and not cfg.legacy_skip_c
+    # A1+B1 single-read path (default): both NIN branches read the same
+    # huge skip-concat tensor; evaluating them as ONE 1x1 conv with
+    # [nin_filters + nin_filters2] output channels halves the concat's HBM
+    # read traffic (per-output-channel math is unchanged — each column of
+    # the fused weight is a column of A1's or B1's weight). Bias/PReLU/
+    # dropout still run per-branch when the loop reaches each spec.
+    fuse_a1b1 = (cfg.use_nin and not cfg.depthwise_separable and not fuse_concat)
+    pending_b1 = None
 
     def maybe_dropout(t):
         nonlocal drop_i
@@ -386,7 +394,18 @@ def apply(
             h = _conv_transpose(h, p["w"].astype(compute_dtype), spec["tconv_scale"])
             continue
 
-        if spec.get("input") == "concat" and fuse_concat:
+        if name == "B1" and pending_b1 is not None:
+            out = pending_b1
+            pending_b1 = None
+        elif name == "A1" and fuse_a1b1:
+            w_ab = jnp.concatenate(
+                [params["A1"]["w"], params["B1"]["w"]], axis=-1
+            ).astype(compute_dtype)
+            both = _conv(concat, w_ab)
+            n_a = params["A1"]["w"].shape[-1]
+            out = both[..., :n_a]
+            pending_b1 = both[..., n_a:].astype(compute_dtype)
+        elif spec.get("input") == "concat" and fuse_concat:
             # sum_i tap_i @ W[offset_i : offset_i + c_i]  (1x1 conv == matmul)
             w = p["w"].astype(compute_dtype)[0, 0]  # [total_ch, out]
             out = None

@@ -110,7 +110,7 @@ def test_tiled_fused_ensemble8_equals_whole():
     eng_t = InferenceEngine(eng.params, cfg.replace(tile_size=16))
     tiled = eng_t.run(x, x2)
     # the fused path must actually be taken (square windows)
-    assert any(k[0] == "tens" for k in eng_t._fns)
+    assert any(k[0] == "tile" and k[4] == 8 for k in eng_t._fns)
     np.testing.assert_allclose(tiled, whole, rtol=1e-4, atol=1e-3)
 
 
@@ -125,7 +125,7 @@ def test_tiled_ensemble8_nonsquare_window_fallback():
     whole = eng.run(x, x2)
     eng_t = InferenceEngine(eng.params, cfg.replace(tile_size=16))
     tiled = eng_t.run(x, x2)
-    assert not any(k[0] == "tens" for k in eng_t._fns)
+    assert not any(k[0] == "tile" and k[4] > 1 for k in eng_t._fns)
     np.testing.assert_allclose(tiled, whole, rtol=1e-4, atol=1e-3)
 
 
