@@ -1,0 +1,61 @@
+"""warm_start_params: scale-transfer checkpoint surgery (tools/warm_start.py).
+
+The DCSCN paper's transfer trick — x3/x4 models inherit the x2 model's
+scale-independent layers; only the scale-dependent upsampler stays fresh."""
+
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+from warm_start import warm_start_params  # noqa: E402
+
+from dcscn_tpu.config import Config
+from dcscn_tpu.models import dcscn
+
+CFG_SMALL = dict(layers=3, filters=8, min_filters=4, nin_filters=8,
+                 nin_filters2=4, dropout_rate=1.0)
+
+
+def _params(cfg, seed=0):
+    return jax.device_get(dcscn.init_params(jax.random.PRNGKey(seed), cfg))
+
+
+def test_x3_inherits_all_but_upsampler():
+    src = _params(Config(scale=2, **CFG_SMALL))
+    fresh = _params(Config(scale=3, **CFG_SMALL), seed=1)
+    out, copied, kept = warm_start_params({"params": src}, fresh, 3)
+    assert sorted(kept) == ["Up-PS/b", "Up-PS/w"]
+    for path in copied:
+        lname, k = path.split("/")
+        np.testing.assert_array_equal(out[lname][k], src[lname][k])
+    # fresh upsampler kept from the fresh init (9x channel conv)
+    np.testing.assert_array_equal(out["Up-PS"]["w"], fresh["Up-PS"]["w"])
+    assert out["Up-PS"]["w"].shape[-1] == 9 * src["Up-PS"]["w"].shape[2]
+
+
+def test_x4_inherits_everything_including_both_ps_stages():
+    src = _params(Config(scale=2, **CFG_SMALL))
+    fresh = _params(Config(scale=4, **CFG_SMALL), seed=1)
+    out, copied, kept = warm_start_params({"params": src}, fresh, 4)
+    assert kept == []
+    # both x2 stages take the x2 model's single Up-PS
+    np.testing.assert_array_equal(out["Up-PS"]["w"], src["Up-PS"]["w"])
+    np.testing.assert_array_equal(out["Up-PS2"]["w"], src["Up-PS"]["w"])
+
+
+def test_warm_started_model_runs():
+    src = _params(Config(scale=2, **CFG_SMALL))
+    cfg3 = Config(scale=3, **CFG_SMALL)
+    fresh = _params(cfg3, seed=1)
+    out, _, _ = warm_start_params({"params": src}, fresh, 3)
+    x = np.random.default_rng(0).uniform(0, 255, (1, 8, 8, 1)).astype(np.float32)
+    x2 = np.random.default_rng(1).uniform(0, 255, (1, 24, 24, 1)).astype(np.float32)
+    y, _ = dcscn.apply(jax.device_put(out), x, x2, cfg3, training=False)
+    assert y.shape == (1, 24, 24, 1)
+    assert np.isfinite(np.asarray(y)).all()
