@@ -213,12 +213,18 @@ class InferenceEngine:
                                    bn_state=bn, compute_dtype=cdt)
                 return crop_own(y, offs)
 
+            # slice to the ensemble count: lax.switch traces EVERY branch,
+            # and the transposed branches (4-7) only shape-check for square
+            # windows (ensemble > 4 implies square via the caller's fallback)
+            fb = fwd_branches[:ensemble]
+            ib = inv_branches[:ensemble]
+
             def body(acc, i):
-                xi = jax.lax.switch(i, fwd_branches, batch)
-                x2i = jax.lax.switch(i, fwd_branches, batch2)
+                xi = jax.lax.switch(i, fb, batch)
+                x2i = jax.lax.switch(i, fb, batch2)
                 yi, _ = dcscn.apply(params, xi, x2i, cfg, training=False,
                                     bn_state=bn, compute_dtype=cdt)
-                return acc + jax.lax.switch(i, inv_branches, yi), None
+                return acc + jax.lax.switch(i, ib, yi), None
 
             acc, _ = jax.lax.scan(
                 body, jnp.zeros(batch2.shape, batch2.dtype),

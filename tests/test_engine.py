@@ -129,6 +129,22 @@ def test_tiled_ensemble8_nonsquare_window_fallback():
     np.testing.assert_allclose(tiled, whole, rtol=1e-4, atol=1e-3)
 
 
+def test_tiled_ensemble4_nonsquare_window_fused():
+    """Ensemble <= 4 (no transposed members) works fused even when the
+    window is non-square (skinny image): switch branches are sliced to the
+    ensemble count so no transposed branch is traced."""
+    cfg = CFG.replace(scale=2, self_ensemble=4)
+    eng = _make_engine(cfg, seed=8)
+    rng = np.random.default_rng(11)
+    x = rng.uniform(0, 255, (12, 61, 1)).astype(np.float32)
+    x2 = resize_ops.resize_image(x, 2)
+    whole = eng.run(x, x2)
+    eng_t = InferenceEngine(eng.params, cfg.replace(tile_size=16))
+    tiled = eng_t.run(x, x2)
+    assert any(k[0] == "tile" and k[4] == 4 for k in eng_t._fns)
+    np.testing.assert_allclose(tiled, whole, rtol=1e-4, atol=1e-3)
+
+
 def test_max_value_rescale():
     cfg = CFG.replace(max_value=1.0, initializer="zero")
     eng = _make_engine(cfg)
