@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--dtype", type=str, default="float32")
+    ap.add_argument("--fuse_a1b1", type=int, default=1,
+                    help="A/B the single-read A1+B1 NIN fusion (1=on)")
+    ap.add_argument("--jit_cache_dir", type=str, default="/root/repo/.jax_cache")
     args = ap.parse_args()
 
     import jax
@@ -37,7 +40,12 @@ def main():
     from dcscn_tpu.config import Config
     from dcscn_tpu.models import dcscn
 
-    cfg = Config(dropout_rate=1.0, dtype=args.dtype)
+    if args.jit_cache_dir:
+        from dcscn_tpu.engine import init_compilation_cache
+        init_compilation_cache(args.jit_cache_dir)
+
+    cfg = Config(dropout_rate=1.0, dtype=args.dtype,
+                 fuse_a1b1=bool(args.fuse_a1b1))
     cdt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     params = dcscn.init_params(jax.random.PRNGKey(0), cfg)
 

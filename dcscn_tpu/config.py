@@ -131,6 +131,9 @@ class Config:
     # tensor (bit-equal up to f32 summation order; dense convs only).
     # Measured on v5e: XLA's concat pipeline wins at L12 shapes (33.7 vs
     # 28.1 MP/s), so this stays opt-in for bandwidth-bound configs.
+    fuse_a1b1: bool = True  # evaluate the A1 and B1 NIN branches as one 1x1
+    # conv over the skip concat (single HBM read of the concat tensor);
+    # output-exact vs the unfused graph. Flag exists for A/B benchmarking.
     legacy_skip_c: bool = False  # ver1-style graphs: no 1x1 "C" layer when
     # use_nin=False (matches the shipped dcscn_L2_* checkpoints, whose Up-PS
     # consumes the skip-concat directly; inferred by the ckpt converter)

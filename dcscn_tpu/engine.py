@@ -376,7 +376,7 @@ class InferenceEngine:
     # ------------------------------------------------------------------
     def _run_tiled(self, x: np.ndarray, x2: np.ndarray, ensemble: int) -> np.ndarray:
         """Exact tiled inference. Ensemble members are generated per-WINDOW
-        on device and fused into the same dispatch (`_tiled_ensemble_fn`);
+        on device and fused into the same dispatch (`_tiled_fn`);
         the result equals whole-image ensemble output (see that docstring).
         Non-square windows with transposed members (ensemble > 4) fall back
         to per-member tiled passes (flip whole image, tile, un-flip)."""
@@ -405,9 +405,12 @@ class InferenceEngine:
         # uniform owned regions: every tile owns an own_h x own_w block with
         # clamped start o = min(a, size - own) — border tiles' blocks overlap
         # their neighbor's, but overlapping pixels are bit-identical (both
-        # windows reproduce the whole-image value), so writes commute
-        own_h = min(interior, h)
-        own_w = min(interior, w)
+        # windows reproduce the whole-image value), so writes commute.
+        # When a single window spans the whole axis (size <= interior+2*halo)
+        # it must own the full axis, not just `interior` of it — otherwise
+        # the tail rows/cols in (interior, size] are never written.
+        own_h = h if len(rows) == 1 else interior
+        own_w = w if len(cols) == 1 else interior
         slots = []
         origins = []
         offs = []

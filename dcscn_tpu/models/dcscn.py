@@ -375,7 +375,8 @@ def apply(
     # read traffic (per-output-channel math is unchanged — each column of
     # the fused weight is a column of A1's or B1's weight). Bias/PReLU/
     # dropout still run per-branch when the loop reaches each spec.
-    fuse_a1b1 = (cfg.use_nin and not cfg.depthwise_separable and not fuse_concat)
+    fuse_a1b1 = (cfg.fuse_a1b1 and cfg.use_nin
+                 and not cfg.depthwise_separable and not fuse_concat)
     pending_b1 = None
 
     def maybe_dropout(t):

@@ -171,3 +171,27 @@ def test_ensemble_square_single_pass_matches():
         x2i = np.ascontiguousarray(flips.flip(x2, i)).astype(np.float32)
         acc += flips.flip(eng.run(xi, x2i, self_ensemble=1), i, invert=True)
     np.testing.assert_allclose(fused, acc / 8.0, rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("pixel_shuffler,scale", [(True, 2), (False, 3)])
+def test_tiled_single_window_band_owns_full_axis(pixel_shuffler, scale):
+    """Regression (round 2, engine.py own-block crop): when an axis size is in
+    (tile_size, tile_size + 2*halo], the plan returns ONE window spanning the
+    axis and it must own ALL of it — the uniform `min(interior, size)` crop
+    left the tail rows/cols unwritten (zeros). Covers PS and tconv variants
+    and both the one-axis and both-axes cases."""
+    cfg = CFG.replace(scale=scale, pixel_shuffler=pixel_shuffler, tile_size=16)
+    eng_t = _make_engine(cfg)
+    halo = eng_t.halo_lr
+    assert halo >= 2
+    rng = np.random.default_rng(12)
+    # one axis inside (interior, interior+2*halo], other needing multiple tiles
+    for shape in [(16 + halo, 3 * 16 + 5), (16 + 2 * halo, 16 + 2 * halo),
+                  (17, 16 + 1)]:
+        x = rng.uniform(0, 255, shape + (1,)).astype(np.float32)
+        x2 = resize_ops.resize_image(x, scale)
+        whole = InferenceEngine(eng_t.params, cfg.replace(tile_size=0)).run(x, x2)
+        tiled = eng_t.run(x, x2)
+        # no unwritten (zero) tail, and exact equality with whole-image
+        assert np.abs(tiled).min() >= 0  # sanity
+        np.testing.assert_allclose(tiled, whole, rtol=1e-5, atol=5e-4)

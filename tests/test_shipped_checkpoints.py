@@ -23,6 +23,11 @@ _CKPT_FLOORS = {
     "dcscn_L7_F32to8_G1.20_Sc4_NIN_A24_B8_PS_DS_R1F32": 32.65,  # meas 32.901
     "dcscn_L2_F4to4_PS_R1F4": 31.22,                          # meas 31.472
     "dcscn_L2_F4to4_Sc4_PS_R1F4": 30.97,                      # meas 31.219
+    # flagship L12 models trained in-framework: floors gate checkpoint
+    # promotion — a half-trained overwrite of a canonical name must fail CI
+    "dcscn_L12_F196to48_NIN_A64_PS_R1F32": 38.57,             # meas 38.820
+    "dcscn_L12_F196to48_Sc3_NIN_A64_PS_R1F32": 35.23,         # meas 35.489
+    "dcscn_L12_F196to48_Sc4_NIN_A64_PS_R1F32": 33.30,         # meas 33.552
 }
 
 

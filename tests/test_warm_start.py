@@ -29,7 +29,7 @@ def _params(cfg, seed=0):
 def test_x3_inherits_all_but_upsampler():
     src = _params(Config(scale=2, **CFG_SMALL))
     fresh = _params(Config(scale=3, **CFG_SMALL), seed=1)
-    out, copied, kept = warm_start_params({"params": src}, fresh, 3)
+    out, copied, kept = warm_start_params({"params": src}, fresh)
     assert sorted(kept) == ["Up-PS/b", "Up-PS/w"]
     for path in copied:
         lname, k = path.split("/")
@@ -42,7 +42,7 @@ def test_x3_inherits_all_but_upsampler():
 def test_x4_inherits_everything_including_both_ps_stages():
     src = _params(Config(scale=2, **CFG_SMALL))
     fresh = _params(Config(scale=4, **CFG_SMALL), seed=1)
-    out, copied, kept = warm_start_params({"params": src}, fresh, 4)
+    out, copied, kept = warm_start_params({"params": src}, fresh)
     assert kept == []
     # both x2 stages take the x2 model's single Up-PS
     np.testing.assert_array_equal(out["Up-PS"]["w"], src["Up-PS"]["w"])
@@ -53,7 +53,7 @@ def test_warm_started_model_runs():
     src = _params(Config(scale=2, **CFG_SMALL))
     cfg3 = Config(scale=3, **CFG_SMALL)
     fresh = _params(cfg3, seed=1)
-    out, _, _ = warm_start_params({"params": src}, fresh, 3)
+    out, _, _ = warm_start_params({"params": src}, fresh)
     x = np.random.default_rng(0).uniform(0, 255, (1, 8, 8, 1)).astype(np.float32)
     x2 = np.random.default_rng(1).uniform(0, 255, (1, 24, 24, 1)).astype(np.float32)
     y, _ = dcscn.apply(jax.device_put(out), x, x2, cfg3, training=False)

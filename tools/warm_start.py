@@ -40,7 +40,7 @@ EXTRA_FLAGS = [
 ]
 
 
-def warm_start_params(src_tree, fresh_params, scale: int):
+def warm_start_params(src_tree, fresh_params):
     """Copy shape-matching leaves from src into fresh; returns (params, copied, kept)."""
     src = src_tree.get("params", src_tree)
     copied, kept = [], []
@@ -70,7 +70,7 @@ def main(argv=None):
     src_tree = ckpt_io.load_params(src_path)
 
     fresh = jax.device_get(dcscn.init_params(jax.random.PRNGKey(0), cfg))
-    params, copied, kept = warm_start_params(src_tree, fresh, cfg.scale)
+    params, copied, kept = warm_start_params(src_tree, fresh)
 
     out_name = cfg.name() + ns.out_suffix
     out_path = os.path.join(cfg.checkpoint_dir, out_name + ".ckpt.npz")
