@@ -340,9 +340,29 @@ class InferenceEngine:
     def _run_spatial(self, x: np.ndarray, x2: np.ndarray, ensemble: int) -> np.ndarray:
         """Whole-image inference with rows sharded over the spatial mesh
         (halo exchange over ICI; bit-identical to single-device whole-image
-        — see parallel/spatial.py). Ensemble members run as flipped whole
-        images, same as tiled mode."""
+        — see parallel/spatial.py). The dihedral self-ensemble is fused into
+        the same spatially-sharded dispatch (members generated on device,
+        lax.scan over the member index) when the padding/shape constraints
+        allow; otherwise members run as flipped whole images, per-member."""
+        cfg = self.cfg
+        s = cfg.scale
+        h, w = x.shape[:2]
+        n, pad = self._spatial_plan(h)
         if ensemble > 1:
+            if n > 1 and pad == 0 and (ensemble <= 4 or h == w):
+                # fused: ONE dispatch for all members (spatial_ensemble_fn)
+                from dcscn_tpu.parallel import spatial as spatial_mod
+
+                mesh, params = self._spatial_mesh(n)
+                fn = self._get_fn(
+                    ("spatial_ens", n, h, w, ensemble),
+                    lambda: spatial_mod.spatial_ensemble_fn(
+                        cfg, mesh, ensemble, halo=self.halo_lr,
+                        compute_dtype=self.compute_dtype,
+                        bn_state=self.bn_state))
+                return self._dispatch(fn, jnp.asarray(x, jnp.float32),
+                                      jnp.asarray(x2, jnp.float32),
+                                      params=params)
             acc = None
             for i in range(ensemble):
                 xi = np.ascontiguousarray(flips.flip(x, i))
@@ -352,10 +372,6 @@ class InferenceEngine:
                 acc = yi if acc is None else acc + yi
             return acc / float(ensemble)
 
-        cfg = self.cfg
-        s = cfg.scale
-        h, w = x.shape[:2]
-        n, pad = self._spatial_plan(h)
         if n <= 1:
             return self._run_whole(x, x2, 1)
 

@@ -133,4 +133,74 @@ def spatial_forward_fn(cfg: Config, mesh: Mesh, halo: Optional[int] = None,
         return jax.device_put(arr, NamedSharding(mesh, P("spatial", None, None)))
 
     run.place = place
+    run.sharded = sharded
+    return run
+
+
+def spatial_ensemble_fn(cfg: Config, mesh: Mesh, ensemble: int,
+                        halo: Optional[int] = None,
+                        compute_dtype=jnp.float32, bn_state=None):
+    """Fused dihedral self-ensemble over the spatially-sharded forward:
+    ONE dispatch for all `ensemble` members (vs the reference's sequential
+    per-member session calls, DCSCN.py:559-573).
+
+    Members are generated ON DEVICE from the already-sharded image by a
+    `lax.scan` over the member index (model traced once, same scheme as
+    engine._tiled_fn): the flip/transpose of a row-sharded array is computed
+    by XLA with collective permutes riding ICI, each member then runs the
+    bit-exact spatially-sharded forward, and the un-flipped outputs
+    accumulate on device. Exactness: each member is an independent exact
+    spatial forward of the flipped image, so the mean equals the host loop.
+
+    Requires pad == 0 (flips along H move pad rows to the top, breaking the
+    pad-at-bottom contract) and a square image when ensemble > 4 (transposed
+    members swap H and W). Callers fall back to per-member passes otherwise.
+    """
+    single = spatial_forward_fn(cfg, mesh, halo=halo,
+                                compute_dtype=compute_dtype,
+                                bn_state=bn_state, pad=0)
+
+    def _t(v):
+        return jnp.transpose(v, (1, 0, 2))
+
+    # same dihedral tables as engine._tiled_fn, for [H,W,C] single images
+    fwd_branches = [
+        lambda v: v,
+        lambda v: v[::-1],
+        lambda v: v[:, ::-1],
+        lambda v: v[::-1, ::-1],
+        lambda v: _t(v)[::-1],        # rot90
+        lambda v: _t(v)[:, ::-1],     # rot90(-1)
+        lambda v: _t(v),              # flipud(rot90)
+        lambda v: _t(v)[::-1, ::-1],  # flipud(rot90(-1))
+    ]
+    inv_branches = [
+        lambda v: v,
+        lambda v: v[::-1],
+        lambda v: v[:, ::-1],
+        lambda v: v[::-1, ::-1],
+        lambda v: _t(v)[:, ::-1],
+        lambda v: _t(v)[::-1],
+        lambda v: _t(v),
+        lambda v: _t(v[::-1, ::-1]),
+    ]
+    # slice to the ensemble count: lax.switch traces EVERY branch, and the
+    # transposed branches (4-7) only shape-check for square images
+    fb = fwd_branches[:ensemble]
+    ib = inv_branches[:ensemble]
+
+    @functools.partial(jax.jit)
+    def run(params, x, x2):
+        def body(acc, i):
+            xi = jax.lax.switch(i, fb, x)
+            x2i = jax.lax.switch(i, fb, x2)
+            yi = single.sharded(params, xi, x2i)
+            return acc + jax.lax.switch(i, ib, yi), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros(x2.shape, x2.dtype),
+            jnp.arange(ensemble, dtype=jnp.int32))
+        return acc / float(ensemble)
+
+    run.place = single.place
     return run

@@ -145,3 +145,61 @@ def test_engine_mesh_spatial_matches_single_device(tile_size):
     ref = InferenceEngine(params, cfg).run(x)
     par = InferenceEngine(params, cfg.replace(mesh_spatial=8)).run(x)
     np.testing.assert_allclose(par, ref, rtol=1e-5, atol=5e-4)
+
+
+def test_engine_spatial_fused_ensemble8_matches_single_device():
+    """x8 ensemble in spatial mode fuses into ONE spatially-sharded dispatch
+    (members generated on device; engine key 'spatial_ens') and equals the
+    single-device ensemble on a square, band-aligned image."""
+    from dcscn_tpu.engine import InferenceEngine
+
+    cfg = CFG.replace(self_ensemble=8)
+    params = jax.device_get(dcscn.init_params(jax.random.PRNGKey(4), cfg))
+    halo = dcscn.receptive_field_lr(cfg)
+    h = 8 * max(2 * halo, 8)
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0, 255, (h, h, 1)).astype(np.float32)
+
+    ref = InferenceEngine(params, cfg).run(x)
+    eng = InferenceEngine(params, cfg.replace(mesh_spatial=8))
+    par = eng.run(x)
+    assert any(k[0] == "spatial_ens" and k[4] == 8 for k in eng._fns)
+    np.testing.assert_allclose(par, ref, rtol=1e-4, atol=1e-3)
+
+
+def test_engine_spatial_ensemble8_nonsquare_falls_back():
+    """Non-square image with transposed members: per-member fallback path,
+    still equal to the single-device ensemble."""
+    from dcscn_tpu.engine import InferenceEngine
+
+    cfg = CFG.replace(self_ensemble=8)
+    params = jax.device_get(dcscn.init_params(jax.random.PRNGKey(6), cfg))
+    halo = dcscn.receptive_field_lr(cfg)
+    h = 8 * max(2 * halo, 8)
+    rng = np.random.default_rng(7)
+    x = rng.uniform(0, 255, (h, h // 2, 1)).astype(np.float32)
+
+    ref = InferenceEngine(params, cfg).run(x)
+    eng = InferenceEngine(params, cfg.replace(mesh_spatial=8))
+    par = eng.run(x)
+    assert not any(k[0] == "spatial_ens" for k in eng._fns)
+    np.testing.assert_allclose(par, ref, rtol=1e-4, atol=1e-3)
+
+
+def test_engine_spatial_ensemble4_nonsquare_fused():
+    """Ensemble <= 4 (no transposed members) fuses even on non-square
+    images as long as no bottom padding is needed."""
+    from dcscn_tpu.engine import InferenceEngine
+
+    cfg = CFG.replace(self_ensemble=4)
+    params = jax.device_get(dcscn.init_params(jax.random.PRNGKey(8), cfg))
+    halo = dcscn.receptive_field_lr(cfg)
+    h = 8 * max(2 * halo, 8)
+    rng = np.random.default_rng(9)
+    x = rng.uniform(0, 255, (h, h // 2 + 3, 1)).astype(np.float32)
+
+    ref = InferenceEngine(params, cfg).run(x)
+    eng = InferenceEngine(params, cfg.replace(mesh_spatial=8))
+    par = eng.run(x)
+    assert any(k[0] == "spatial_ens" and k[4] == 4 for k in eng._fns)
+    np.testing.assert_allclose(par, ref, rtol=1e-4, atol=1e-3)
