@@ -349,7 +349,10 @@ class InferenceEngine:
         h, w = x.shape[:2]
         n, pad = self._spatial_plan(h)
         if ensemble > 1:
-            if n > 1 and pad == 0 and (ensemble <= 4 or h == w):
+            if n <= 1:
+                # image too short to split: batched whole-image ensemble
+                return self._run_whole(x, x2, ensemble)
+            if pad == 0 and (ensemble <= 4 or h == w):
                 # fused: ONE dispatch for all members (spatial_ensemble_fn)
                 from dcscn_tpu.parallel import spatial as spatial_mod
 

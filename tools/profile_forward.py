@@ -21,6 +21,7 @@ def main():
     ap.add_argument("--lr_size", type=int, default=256)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--jit_cache_dir", default="/root/repo/.jax_cache")
     args = ap.parse_args()
 
     import jax
@@ -28,6 +29,10 @@ def main():
 
     from dcscn_tpu.config import Config
     from dcscn_tpu.models import dcscn
+
+    if args.jit_cache_dir:
+        from dcscn_tpu.engine import init_compilation_cache
+        init_compilation_cache(args.jit_cache_dir)
 
     cfg = Config(dropout_rate=1.0)
     cdt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
