@@ -1,15 +1,25 @@
-"""Pallas TPU kernels for the data-movement hot paths.
+"""Device-side window gather for tiled inference.
 
-`gather_windows`: build the tiled-inference window batch ON DEVICE. The
+`gather_windows` builds the tiled-inference window batch ON DEVICE: the
 engine's exact tiling (engine.py) needs overlapping [win_h, win_w] windows
 of the LR/bicubic images; assembling them on the host costs host memcpy
-plus ~2x duplicated host->device transfer (halos overlap). This kernel
-keeps the image in HBM (`pl.ANY`), scalar-prefetches the per-tile window
-origins, and DMAs each window HBM->VMEM into its output slot — one linear
-image upload, windows materialized at HBM bandwidth.
+plus ~2x duplicated host->device transfer (halos overlap).
 
-A jittable XLA fallback (`gather_windows_xla`, vmapped dynamic_slice) is
-used on CPU and for verification; tests assert bit-equality.
+Measured on v5e (tools/bench_gather.py, round 3, bsd100-like 481x321 LR,
+77 windows of 82x82, results/r3/bench_gather.json):
+
+    xla (vmapped dynamic_slice, on device)   1.84 ms
+    host assembly + transfer                37.0  ms   (20x slower)
+
+so the device-side gather matters — but the XLA lowering already delivers
+it, at ~0.4% of the 480 ms tiled-ensemble dispatch it feeds. The Mosaic
+kernel below additionally CANNOT compile for C=1 images: a window slice
+is unaligned in the lane dimension ("Slice shape along dimension 2 must
+be aligned to tiling (128), but is 1"), and shuffling W into the lane dim
+would make the arbitrary column offsets unaligned instead. The Pallas
+path is therefore retired from the hot path (kept, with its interpret-mode
+tests, as the worked example for a future toolchain that supports
+sub-tile DMA slicing); `gather_windows` uses the XLA gather everywhere.
 """
 
 from __future__ import annotations
@@ -18,10 +28,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-
-
-_PALLAS_BROKEN = False  # set after a failed TPU mosaic compile (e.g. remote
-# compile services that only support plain XLA); we then use the XLA path
 
 
 def gather_windows_xla(img, row_starts, col_starts, win_h: int, win_w: int):
@@ -36,20 +42,14 @@ def gather_windows_xla(img, row_starts, col_starts, win_h: int, win_w: int):
 
 def gather_windows(img, row_starts, col_starts, win_h: int, win_w: int,
                    interpret: bool = False):
-    """Pallas window gather on TPU; falls back to XLA elsewhere or when the
-    TPU toolchain cannot compile Mosaic kernels."""
-    global _PALLAS_BROKEN
-    platform = jax.devices()[0].platform
-    if (platform != "tpu" or _PALLAS_BROKEN) and not interpret:
-        return _gather_windows_xla_jit(img, row_starts, col_starts, win_h, win_w)
-    try:
-        return _gather_windows_pallas(img, row_starts, col_starts, win_h, win_w,
-                                      interpret)
-    except Exception:
-        if interpret:
-            raise
-        _PALLAS_BROKEN = True
-        return _gather_windows_xla_jit(img, row_starts, col_starts, win_h, win_w)
+    """Device-side window gather (XLA vmapped dynamic_slice — see module
+    docstring for why this, and not the Mosaic kernel, is the TPU path).
+    `interpret=True` runs the retired Pallas kernel in interpret mode for
+    its equivalence tests."""
+    if interpret:
+        return _gather_windows_pallas(img, row_starts, col_starts, win_h,
+                                      win_w, True)
+    return _gather_windows_xla_jit(img, row_starts, col_starts, win_h, win_w)
 
 
 _gather_windows_xla_jit = jax.jit(gather_windows_xla, static_argnums=(3, 4))

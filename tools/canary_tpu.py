@@ -37,7 +37,15 @@ def main(argv=None):
     ap.add_argument("--ckpt", default="dcscn_L7_F32to8_G1.20_NIN_A24_B8_PS_R1F32")
     ap.add_argument("--image", default=os.path.join(REPO, "data/set5/img_001.png"))
     ap.add_argument("--tile_size", type=int, default=48)
-    ap.add_argument("--tol", type=float, default=2e-3)
+    # Measured on v5e (round 3): tiled-vs-whole is 0.0 on CPU but up to
+    # ~0.018 on TPU — XLA tiles the convs differently for window-shaped
+    # programs, changing f32 accumulation order and internal bf16 packing,
+    # a ~7e-5 relative shape-dependent rounding (~0.01 dB PSNR; this is
+    # what round 2 logged as the 37.211 -> 37.198 "drift"). The A1+B1
+    # fusion measures exactly 0.0 on both backends. 0.05 passes that
+    # rounding while any real bug (e.g. an unwritten tile band: err ~377)
+    # fails by orders of magnitude.
+    ap.add_argument("--tol", type=float, default=5e-2)
     ap.add_argument("--out", default="")
     ap.add_argument("--jit_cache_dir", default="/root/repo/.jax_cache")
     args = ap.parse_args(argv)
