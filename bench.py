@@ -31,6 +31,12 @@ def main():
     ap.add_argument("--dtype", type=str, default="float32")
     ap.add_argument("--fuse_a1b1", type=int, default=1,
                     help="A/B the single-read A1+B1 NIN fusion (1=on)")
+    ap.add_argument("--fused_iters", action="store_true",
+                    help="run the timed iterations as ONE dispatch "
+                    "(lax.scan over the forward): measures device-side "
+                    "throughput with the per-dispatch relay overhead "
+                    "amortized away (xplane: ~71 ms/iter device vs ~120 ms "
+                    "per individual dispatch through the remote tunnel)")
     ap.add_argument("--jit_cache_dir", type=str, default="/root/repo/.jax_cache")
     args = ap.parse_args()
 
@@ -54,6 +60,23 @@ def main():
         y, _ = dcscn.apply(params, x, x2, cfg, training=False, compute_dtype=cdt)
         return y
 
+    if args.fused_iters:
+        import jax.lax as lax
+
+        @jax.jit
+        def forward_n(params, x, x2):
+            def body(carry, _):
+                # make the input depend on the carry (numerically a no-op)
+                # so XLA cannot hoist the loop-invariant forward out of
+                # the scan and run it once
+                xi = x + carry * jnp.float32(1e-30)
+                y, _ = dcscn.apply(params, xi, x2, cfg, training=False,
+                                   compute_dtype=cdt)
+                return carry + y[0, 0, 0, 0], None
+
+            acc, _ = lax.scan(body, jnp.float32(0), None, length=args.iters)
+            return acc
+
     n, s, lr = args.batch, cfg.scale, args.lr_size
     key = jax.random.PRNGKey(1)
     x = jax.random.uniform(key, (n, lr, lr, 1), jnp.float32, 0, 255)
@@ -66,18 +89,26 @@ def main():
     # block_until_ready returns before the remote execution completes.
     # Best-of-3 repetitions: remote-tunnel runs have high variance.
     best_dt = float("inf")
-    for _rep in range(3):
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            y = forward(params, x, x2)
-        jax.device_get(y)
-        best_dt = min(best_dt, time.perf_counter() - t0)
+    if args.fused_iters:
+        jax.device_get(forward_n(params, x, x2))  # compile
+        for _rep in range(3):
+            t0 = time.perf_counter()
+            jax.device_get(forward_n(params, x, x2))
+            best_dt = min(best_dt, time.perf_counter() - t0)
+    else:
+        for _rep in range(3):
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                y = forward(params, x, x2)
+            jax.device_get(y)
+            best_dt = min(best_dt, time.perf_counter() - t0)
 
     hr_megapixels = n * (lr * s) ** 2 / 1e6 * args.iters
     mp_s = hr_megapixels / best_dt
 
     print(json.dumps({
-        "metric": "dcscn_L12_x2_sr_throughput",
+        "metric": "dcscn_L12_x2_sr_throughput"
+                  + ("_device" if args.fused_iters else ""),
         "value": round(mp_s, 3),
         "unit": "HR_megapixels/sec",
         "vs_baseline": round(mp_s / BASELINE_CPU_MP_S, 2),
