@@ -306,6 +306,28 @@ class SuperResolution:
             return true_image, input_img, true_image
         return true_image, None, None
 
+    def do_for_evaluate_batch(self, file_paths):
+        """PSNR/SSIM for a whole file list with dataset-batched inference:
+        images sharing a tile layout ride one canvas + one chunked dispatch
+        (engine.run_many), amortizing per-dispatch overhead across the
+        dataset. Same metrics as do_for_evaluate, returned in input order
+        as a list of (psnr, ssim) (None pairs for unreadable images)."""
+        inputs, bicubics, trues, idxs = [], [], [], []
+        results = [(None, None)] * len(file_paths)
+        for i, path in enumerate(file_paths):
+            _, input_y, true_y = self._prepare_eval_images(path)
+            if input_y is None:
+                continue
+            inputs.append(input_y)
+            bicubics.append(resize_ops.resize_image(input_y, self.scale))
+            trues.append(true_y)
+            idxs.append(i)
+        outs = self.engine.run_many(inputs, bicubics)
+        for i, true_y, output_y in zip(idxs, trues, outs):
+            results[i] = metrics.compute_psnr_and_ssim(
+                true_y, output_y, border_size=self.psnr_calc_border_size)
+        return results
+
     def do_for_evaluate(self, file_path: str, print_console: bool = False):
         """PSNR/SSIM for one file (reference: DCSCN.py:672-703)."""
         _, input_y, true_y = self._prepare_eval_images(file_path)

@@ -36,6 +36,9 @@ from dcscn_tpu.ops import flips
 from dcscn_tpu.ops import resize as resize_ops
 
 
+_GROUP_CHUNK = 64  # windows per lax.map chunk in run_many's group dispatch
+
+
 def _bucket(n: int) -> int:
     """Round a tile count up to a small set of buckets (1,2,4,8,16,24,32,...)
     so compiled program count stays tiny across image sizes."""
@@ -309,6 +312,157 @@ class InferenceEngine:
         return output
 
     # ------------------------------------------------------------------
+    def run_many(
+        self,
+        inputs,
+        bicubic_inputs=None,
+        self_ensemble: Optional[int] = None,
+    ):
+        """Batched-dataset inference: SR every image in `inputs` with the
+        per-dispatch overhead amortized across the whole set.
+
+        Images sharing an identical tile layout (same window and owned-block
+        sizes — e.g. all 100 bsd100 images) are packed into ONE canvas
+        upload + ONE window gather + ONE model dispatch that lax.map's over
+        fixed-size window chunks, instead of >= 3 dispatches per image.
+        Measured relay overhead here is ~50 ms/dispatch (results/r3), so
+        this cuts dataset eval wall time several-fold. Outputs are
+        bit-identical to per-image `run` (windows never cross image
+        boundaries in the canvas; same tiled program does the math).
+
+        Images that cannot join a group (odd sizes, transposed-ensemble
+        non-square windows, whole-image/spatial modes) fall back to `run`.
+        Returns a list of [h*s, w*s, 1] float outputs in input order.
+        """
+        cfg = self.cfg
+        ensemble = cfg.self_ensemble if self_ensemble is None else self_ensemble
+        ensemble = max(1, min(int(ensemble), 8))
+        xs = [x[:, :, None] if x.ndim == 2 else x for x in inputs]
+        if bicubic_inputs is None:
+            bicubic_inputs = [resize_ops.resize_image(x, cfg.scale, method="bicubic")
+                              for x in xs]
+        x2s = list(bicubic_inputs)
+
+        results: List[Optional[np.ndarray]] = [None] * len(xs)
+        if cfg.tile_size <= 0 or self.n_spatial > 1 or len(xs) < 2:
+            for i, (x, x2) in enumerate(zip(xs, x2s)):
+                results[i] = self.run(x, x2, self_ensemble=ensemble)
+            return results
+
+        # group images by exact tile layout (window + owned-block sizes)
+        groups: Dict[Tuple, List[int]] = {}
+        layouts = []
+        for i, x in enumerate(xs):
+            layout = self._tile_layout(x.shape[0], x.shape[1])
+            layouts.append(layout)
+            key = layout[0]  # (win_h, win_w, own_h, own_w)
+            if ensemble > 4 and key[0] != key[1]:
+                key = ("fallback", i)  # transposed members need square wins
+            groups.setdefault(key, []).append(i)
+
+        for key, members in groups.items():
+            if key[0] == "fallback" or len(members) < 2:
+                for i in members:
+                    results[i] = self.run(xs[i], x2s[i], self_ensemble=ensemble)
+                continue
+            outs = self._run_tiled_group(
+                [xs[i] for i in members], [x2s[i] for i in members],
+                [layouts[i] for i in members], ensemble)
+            for i, out in zip(members, outs):
+                results[i] = out
+        return results
+
+    def _run_tiled_group(self, xs, x2s, layouts, ensemble):
+        """One canvas + one gather + one chunked model dispatch for a group
+        of images with identical tile layouts (see run_many)."""
+        cfg = self.cfg
+        s = cfg.scale
+        win_h, win_w, own_h, own_w = layouts[0][0]
+        scale_pre = cfg.max_value / 255.0 if cfg.max_value != 255.0 else None
+
+        # stack the LR images into one [sum(h), max(w)] canvas (and the HR
+        # bicubics into its s-scaled twin); windows never straddle images
+        # because every origin keeps the window inside its own image
+        heights = [x.shape[0] for x in xs]
+        widths = [x.shape[1] for x in xs]
+        canvas = np.zeros((sum(heights), max(widths), 1), np.float32)
+        canvas2 = np.zeros((sum(heights) * s, max(widths) * s, 1), np.float32)
+        row_off = []
+        r = 0
+        for x, x2 in zip(xs, x2s):
+            canvas[r : r + x.shape[0], : x.shape[1]] = x
+            canvas2[r * s : (r + x.shape[0]) * s, : x.shape[1] * s] = x2
+            row_off.append(r)
+            r += x.shape[0]
+        if scale_pre is not None:
+            canvas *= scale_pre
+            canvas2 *= scale_pre
+
+        origins, offs, counts = [], [], []
+        for (_, img_origins, img_offs, _), off in zip(layouts, row_off):
+            origins.extend((ws_r + off, ws_c) for ws_r, ws_c in img_origins)
+            offs.extend(img_offs)
+            counts.append(len(img_origins))
+        n = len(origins)
+
+        chunk = _GROUP_CHUNK
+        n_chunks = _bucket(-(-n // chunk))
+        n_pad = n_chunks * chunk
+        origin_arr = np.zeros((n_pad, 2), np.int32)
+        origin_arr[:n] = np.asarray(origins, np.int32)
+        offs_arr = np.zeros((n_pad, 2), np.int32)
+        offs_arr[:n] = np.asarray(offs, np.int32)
+
+        from dcscn_tpu.ops import pallas_kernels
+
+        rows_i = jnp.asarray(origin_arr[:, 0])
+        cols_i = jnp.asarray(origin_arr[:, 1])
+        batch = pallas_kernels.gather_windows(
+            jnp.asarray(canvas), rows_i, cols_i, win_h, win_w)
+        batch2 = pallas_kernels.gather_windows(
+            jnp.asarray(canvas2), rows_i * s, cols_i * s, win_h * s, win_w * s)
+        fn = self._get_fn(
+            ("tilemany", n_chunks, chunk, win_h, win_w, ensemble, own_h, own_w),
+            lambda: self._tiled_many_fn(ensemble, s * own_h, s * own_w,
+                                        chunk, n_chunks))
+        out = self._dispatch(fn, batch, batch2, jnp.asarray(offs_arr))[:n]
+        if scale_pre is not None:
+            out = out * (1.0 / scale_pre)
+
+        results = []
+        k = 0
+        for x, (_, _, _, slots), cnt in zip(xs, layouts, counts):
+            h, w = x.shape[:2]
+            result = np.zeros((h * s, w * s, 1), np.float32)
+            for tile_out, (o_r, o_c) in zip(out[k : k + cnt], slots):
+                result[s * o_r : s * (o_r + own_h),
+                       s * o_c : s * (o_c + own_w), :] = tile_out
+            results.append(result)
+            k += cnt
+        return results
+
+    def _tiled_many_fn(self, ensemble: int, own_h: int, own_w: int,
+                       chunk: int, n_chunks: int):
+        """Jitted fn over a whole image-group's window batch: lax.map of the
+        single-chunk tiled program (`_tiled_fn`, inlined) over fixed-size
+        chunks — the entire dataset group runs in ONE dispatch."""
+        inner = self._tiled_fn(ensemble, own_h, own_w)
+
+        def fwd(params, batch, batch2, offs):
+            bs = batch.reshape((n_chunks, chunk) + batch.shape[1:])
+            b2s = batch2.reshape((n_chunks, chunk) + batch2.shape[1:])
+            os_ = offs.reshape(n_chunks, chunk, 2)
+
+            def one(args):
+                b, b2, o = args
+                return inner(params, b, b2, o)
+
+            outs = jax.lax.map(one, (bs, b2s, os_))
+            return outs.reshape((n_chunks * chunk, own_h, own_w) + outs.shape[4:])
+
+        return jax.jit(fwd)
+
+    # ------------------------------------------------------------------
     def _run_whole(self, x: np.ndarray, x2: np.ndarray, ensemble: int) -> np.ndarray:
         h, w = x.shape[:2]
         if ensemble > 1:
@@ -393,6 +547,42 @@ class InferenceEngine:
         return out[: h * s]
 
     # ------------------------------------------------------------------
+    def _tile_layout(self, h: int, w: int):
+        """Static tiling layout for an [h, w] LR image.
+
+        Returns ((win_h, win_w, own_h, own_w), origins, offs, slots):
+        window sizes, per-window LR window origins, per-window HR crop
+        offsets into the window, and per-window LR owned-block starts.
+
+        Uniform owned regions: every tile owns an own_h x own_w block with
+        clamped start o = min(a, size - own) — border tiles' blocks overlap
+        their neighbor's, but overlapping pixels are bit-identical (both
+        windows reproduce the whole-image value), so writes commute.
+        When a single window spans the whole axis (size <= interior+2*halo)
+        it must own the full axis, not just `interior` of it — otherwise
+        the tail rows/cols in (interior, size] are never written.
+        """
+        cfg = self.cfg
+        s = cfg.scale
+        halo = self.halo_lr
+        interior = max(cfg.tile_size, 8)
+        rows = _tile_plan(h, interior, halo)
+        cols = _tile_plan(w, interior, halo)
+        win_h = min(h, interior + 2 * halo)
+        win_w = min(w, interior + 2 * halo)
+        own_h = h if len(rows) == 1 else interior
+        own_w = w if len(cols) == 1 else interior
+        origins, offs, slots = [], [], []
+        for ws_r, a_r, _b_r in rows:
+            for ws_c, a_c, _b_c in cols:
+                o_r = max(min(a_r, h - own_h), 0)
+                o_c = max(min(a_c, w - own_w), 0)
+                origins.append((ws_r, ws_c))
+                offs.append((s * (o_r - ws_r), s * (o_c - ws_c)))
+                slots.append((o_r, o_c))
+        return (win_h, win_w, own_h, own_w), origins, offs, slots
+
+    # ------------------------------------------------------------------
     def _run_tiled(self, x: np.ndarray, x2: np.ndarray, ensemble: int) -> np.ndarray:
         """Exact tiled inference. Ensemble members are generated per-WINDOW
         on device and fused into the same dispatch (`_tiled_fn`);
@@ -421,25 +611,8 @@ class InferenceEngine:
                 acc = yi if acc is None else acc + yi
             return acc / float(ensemble)
 
-        # uniform owned regions: every tile owns an own_h x own_w block with
-        # clamped start o = min(a, size - own) — border tiles' blocks overlap
-        # their neighbor's, but overlapping pixels are bit-identical (both
-        # windows reproduce the whole-image value), so writes commute.
-        # When a single window spans the whole axis (size <= interior+2*halo)
-        # it must own the full axis, not just `interior` of it — otherwise
-        # the tail rows/cols in (interior, size] are never written.
-        own_h = h if len(rows) == 1 else interior
-        own_w = w if len(cols) == 1 else interior
-        slots = []
-        origins = []
-        offs = []
-        for ws_r, a_r, b_r in rows:
-            for ws_c, a_c, b_c in cols:
-                o_r = max(min(a_r, h - own_h), 0)
-                o_c = max(min(a_c, w - own_w), 0)
-                origins.append((ws_r, ws_c))
-                offs.append((s * (o_r - ws_r), s * (o_c - ws_c)))
-                slots.append((o_r, o_c))
+        (win_h, win_w, own_h, own_w), origins, offs, slots = \
+            self._tile_layout(h, w)
 
         n = len(slots)
         # bucket the tile count so every image reuses one compiled program;
@@ -453,8 +626,9 @@ class InferenceEngine:
         offs_arr = np.zeros((n_pad, 2), np.int32)
         offs_arr[:n] = np.asarray(offs, np.int32)
 
-        # windows are assembled ON DEVICE: one linear image upload, then a
-        # Pallas HBM->VMEM gather (XLA dynamic_slice fallback off-TPU)
+        # windows are assembled ON DEVICE: one linear image upload, then an
+        # XLA vmapped dynamic_slice gather (20x faster than host assembly,
+        # measured — see ops/pallas_kernels.py)
         from dcscn_tpu.ops import pallas_kernels
 
         x_dev = jnp.asarray(x, jnp.float32)

@@ -44,6 +44,17 @@ def test_evaluate_cli(env, capsys):
                                 "--compute_bicubic=True", "--initialize_tf_log=False"])
 
 
+def test_evaluate_cli_batch_eval(env, capsys):
+    """--batch_eval routes through engine.run_many and logs the same
+    Average line format."""
+    _make_ckpt(TINY_FLAGS)
+    from dcscn_tpu.cli import evaluate
+
+    evaluate.main(TINY_FLAGS + ["--test_dataset=tinyset", "--save_results=False",
+                                "--batch_eval=True", "--tile_size=16",
+                                "--initialize_tf_log=False"])
+
+
 def test_sr_cli(env):
     name = _make_ckpt(TINY_FLAGS)
     from dcscn_tpu.cli import sr

@@ -195,3 +195,49 @@ def test_tiled_single_window_band_owns_full_axis(pixel_shuffler, scale):
         # no unwritten (zero) tail, and exact equality with whole-image
         assert np.abs(tiled).min() >= 0  # sanity
         np.testing.assert_allclose(tiled, whole, rtol=1e-5, atol=5e-4)
+
+
+def test_run_many_matches_per_image():
+    """Cross-image batched tiled inference (one canvas + one gather + one
+    chunked dispatch per layout group) must equal per-image run(), with
+    odd-size images falling back transparently."""
+    cfg = CFG.replace(scale=2, tile_size=16, self_ensemble=1)
+    eng = _make_engine(cfg, seed=13)
+    rng = np.random.default_rng(14)
+    # three same-layout images (grouped) + one odd size (fallback)
+    xs = [rng.uniform(0, 255, (45, 61, 1)).astype(np.float32) for _ in range(3)]
+    xs.append(rng.uniform(0, 255, (30, 30, 1)).astype(np.float32))
+    x2s = [resize_ops.resize_image(x, 2) for x in xs]
+
+    batched = eng.run_many(xs, x2s)
+    assert any(k[0] == "tilemany" for k in eng._fns)
+    for x, x2, out in zip(xs, x2s, batched):
+        np.testing.assert_allclose(out, eng.run(x, x2), rtol=1e-5, atol=5e-4)
+
+
+def test_run_many_fused_ensemble8():
+    """Grouped path with the fused x8 per-window ensemble (square windows)."""
+    cfg = CFG.replace(scale=2, tile_size=16, self_ensemble=8)
+    eng = _make_engine(cfg, seed=15)
+    rng = np.random.default_rng(16)
+    xs = [rng.uniform(0, 255, (45, 61, 1)).astype(np.float32) for _ in range(2)]
+    x2s = [resize_ops.resize_image(x, 2) for x in xs]
+    batched = eng.run_many(xs, x2s)
+    assert any(k[0] == "tilemany" and k[5] == 8 for k in eng._fns)
+    for x, x2, out in zip(xs, x2s, batched):
+        np.testing.assert_allclose(out, eng.run(x, x2), rtol=1e-4, atol=1e-3)
+
+
+def test_run_many_single_window_band_group():
+    """Grouped path where the whole axis is one window (own = size):
+    regression guard composing run_many with the round-3 ownership fix."""
+    cfg = CFG.replace(scale=2, tile_size=16, self_ensemble=1)
+    eng = _make_engine(cfg, seed=17)
+    halo = eng.halo_lr
+    rng = np.random.default_rng(18)
+    shape = (16 + halo, 16 + halo)
+    xs = [rng.uniform(0, 255, shape + (1,)).astype(np.float32) for _ in range(2)]
+    x2s = [resize_ops.resize_image(x, 2) for x in xs]
+    batched = eng.run_many(xs, x2s)
+    for x, x2, out in zip(xs, x2s, batched):
+        np.testing.assert_allclose(out, eng.run(x, x2), rtol=1e-5, atol=5e-4)
