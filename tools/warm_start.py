@@ -66,6 +66,10 @@ def main(argv=None):
     cfg, ns = parse_args(argv, extra_flags=EXTRA_FLAGS)
     if not ns.src_name:
         raise SystemExit("--src_name is required")
+    if cfg.jit_cache_dir:
+        from dcscn_tpu.engine import init_compilation_cache
+
+        init_compilation_cache(cfg.jit_cache_dir)
     src_path = os.path.join(cfg.checkpoint_dir, ns.src_name + ".ckpt.npz")
     src_tree = ckpt_io.load_params(src_path)
 
