@@ -1,11 +1,23 @@
 #!/bin/bash
-# Round-3 TPU queue, stage C: push the x2 flagship toward the published
-# 37.79 (ours 37.701): fresh train on the full-dihedral combined_8 set
-# with double patches/epoch (96k), then full-protocol eval. Promotion to
-# the canonical name stays gated on beating the incumbent's eval.
+# Round-3 TPU queue, stage C: device-limit bench (fused iterations),
+# canary re-run at the measured tolerance, then the x2 flagship push:
+# fresh train on full-dihedral combined_8 with double patches/epoch (96k)
+# and a full-protocol eval. Promotion stays gated on beating the
+# incumbent's eval.
 set -u
 cd /root/repo
 R=results/r3
+
+echo "[r3c] bench fused_iters (device-side throughput)" >&2
+timeout 3600 python bench.py --fused_iters > $R/bench_fused_iters.json \
+  2>$R/bench_fused_iters.err
+
+echo "[r3c] bench default protocol (for BENCH_r03 comparability)" >&2
+timeout 2400 python bench.py > $R/bench_default.json 2>$R/bench_default.err
+
+echo "[r3c] canary (tolerance = measured TPU rounding bound)" >&2
+timeout 1800 python tools/canary_tpu.py --out $R/canary.json \
+  > $R/canary.out 2>$R/canary.err
 
 COMMON="--dataset=combined_8 --test_dataset=set5 --build_batch=True \
   --self_ensemble=1 --tile_size=0 --jit_cache_dir=/root/repo/.jax_cache \
