@@ -241,3 +241,17 @@ def test_run_many_single_window_band_group():
     batched = eng.run_many(xs, x2s)
     for x, x2, out in zip(xs, x2s, batched):
         np.testing.assert_allclose(out, eng.run(x, x2), rtol=1e-5, atol=5e-4)
+
+
+def test_run_many_max_value_rescale():
+    """run_many's grouped path must apply the same max_value pre/post
+    scaling as run() (reference DCSCN.py:552-557, :581-584)."""
+    cfg = CFG.replace(scale=2, tile_size=16, self_ensemble=1, max_value=1.0)
+    eng = _make_engine(cfg, seed=19)
+    rng = np.random.default_rng(20)
+    xs = [rng.uniform(0, 255, (45, 61, 1)).astype(np.float32) for _ in range(2)]
+    x2s = [resize_ops.resize_image(x, 2) for x in xs]
+    batched = eng.run_many(xs, x2s)
+    assert any(k[0] == "tilemany" for k in eng._fns)
+    for x, x2, out in zip(xs, x2s, batched):
+        np.testing.assert_allclose(out, eng.run(x, x2), rtol=1e-4, atol=1e-3)
