@@ -41,6 +41,9 @@ class SuperResolution:
     def __init__(self, cfg: Config, model_name: str = ""):
         if model_name and not cfg.model_name:
             cfg = cfg.replace(model_name=model_name)
+        from dcscn_tpu import config as config_mod
+
+        cfg, backend_notes = config_mod.resolve_backend_defaults(cfg)
         self.cfg = cfg
         self.name = cfg.name()
         self.scale = cfg.scale
@@ -96,6 +99,8 @@ class SuperResolution:
         logging_util.set_logging(cfg.log_filename)
         logging.info("\ndcscn_tpu -------------------------------------")
         logging.info("%s [%s]" % (logging_util.get_now_date(), self.name))
+        for note in backend_notes:
+            logging.info(note)
 
         self._trainer = None
         self._summary = None
@@ -504,8 +509,14 @@ class SuperResolution:
         self.step += 1
         self._engine = None  # params changed
 
-    def log_to_tensorboard(self, test_filename: str, psnr: float, save_meta_data: bool = False):
-        """Per-epoch scalar/histogram logging (reference: DCSCN.py:427-482)."""
+    def log_to_tensorboard(self, test_filename: str, psnr: float, save_meta_data: bool = False,
+                           sample_batch=None):
+        """Per-epoch scalar/histogram logging (reference: DCSCN.py:427-482).
+
+        With `sample_batch` (a trainer.Batch) and --save_weights, also logs
+        per-gradient mean/stddev/histograms and the input/output tensor
+        summaries the reference emits (DCSCN.py:238, :329, :397-404) — via
+        one extra jitted grad eval on that batch."""
         if not self.cfg.enable_log or self._summary is None:
             return
         if not self.cfg.use_l1_loss and self.training_step != 0:
@@ -516,6 +527,18 @@ class SuperResolution:
         self._summary.scalar("test", "PSNR", psnr, self.epochs_completed)
         if self.cfg.save_weights and self.params is not None:
             self._summary.weight_summaries(self.params, self.epochs_completed)
+            if sample_batch is not None and self._trainer is not None:
+                try:
+                    grads, y = self._trainer.grad_sample()(
+                        self.params, self.bn_state, sample_batch,
+                        jax.random.PRNGKey(self.step))
+                    self._summary.grad_summaries(grads, self.epochs_completed)
+                    self._summary.tensor_summaries(
+                        "X/output", sample_batch.x, self.epochs_completed)
+                    self._summary.tensor_summaries(
+                        "Y_/output", y, self.epochs_completed)
+                except Exception as e:  # summaries must never break training
+                    logging.warning("gradient summaries failed: %s" % e)
         if self.cfg.save_images and self.params is not None:
             self._summary.kernel_images(self.params, self.epochs_completed,
                                         max_outputs=self.cfg.save_images_num)

@@ -21,11 +21,10 @@ EXTRA_FLAGS = [
     ("save_results", bool, True, "Save result, bicubic and loss images."),
     ("compute_bicubic", bool, False, "Compute bicubic performance."),
     ("batch_eval", bool, False,
-     "Batch the whole dataset's tiles into shared dispatches "
-     "(engine.run_many). Faster for one-shot CLI runs (fewer compiled "
-     "programs to load: measured 0.67 vs 1.01 s/image on bsd100); the "
-     "per-image path pipelines better in long-lived warm processes. "
-     "Per-image Time(s) is the amortized average."),
+     "Batch the whole dataset into pipelined/shared dispatches "
+     "(engine.run_many), amortizing per-dispatch overhead. Requires "
+     "--save_results=False (result-image dumping needs the per-image "
+     "path). Per-image Time(s) is the amortized average."),
 ]
 
 
@@ -44,17 +43,26 @@ def evaluate_model(model: api.SuperResolution, cfg, test_data: str, save_results
                    batch_eval: bool = False):
     test_filenames = files.get_files_in_directory(cfg.data_dir + "/" + test_data)
     total_psnr = total_ssim = total_time = 0.0
+    if batch_eval and save_results:
+        logging.info("--batch_eval requires --save_results=False (result-image "
+                     "dumping needs the per-image path); using per-image eval")
     if batch_eval and not save_results:
         start = time.time()
         pairs = model.do_for_evaluate_batch(test_filenames)
         total_time = time.time() - start
         pairs = [p for p in pairs if p[0] is not None]
         n = len(pairs)
+        if n == 0:
+            logging.warning("no evaluable images in [%s]" % test_data)
+            return 0.0, 0.0
         total_psnr = sum(p for p, _ in pairs)
         total_ssim = sum(s for _, s in pairs)
         logging.info("Model Average [%s] PSNR:%f, SSIM:%f, Time (s): %f" % (
             test_data, total_psnr / n, total_ssim / n, total_time / n))
         return total_psnr / n, total_ssim / n
+    if not test_filenames:
+        logging.warning("no evaluable images in [%s]" % test_data)
+        return 0.0, 0.0
     for filename in test_filenames:
         start = time.time()
         if save_results:

@@ -19,6 +19,7 @@ import logging
 import sys
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from dcscn_tpu import api
@@ -113,6 +114,8 @@ def train(model: api.SuperResolution, cfg, trial: int, reference_loop: bool = Fa
 def _train_loop_steps(model, cfg, trial, test_filenames, steps_per_epoch):
     """Reference-equivalent loop: host builds each minibatch, one jitted
     optimizer step per iteration (train.py:78-94)."""
+    from dcscn_tpu.train.trainer import Batch
+
     psnr = ssim = 0.0
     while model.lr > cfg.end_lr:
         model.build_input_batch()
@@ -121,7 +124,11 @@ def _train_loop_steps(model, cfg, trial, test_filenames, steps_per_epoch):
             model.epochs_completed += 1
             psnr, ssim = model.evaluate(test_filenames)
             model.print_status(psnr, ssim, log=True)
-            model.log_to_tensorboard(test_filenames[0], psnr)
+            sample = Batch(
+                jnp.asarray(np.stack(model.batch_input), jnp.float32),
+                jnp.asarray(np.stack(model.batch_input_bicubic), jnp.float32),
+                jnp.asarray(np.stack(model.batch_true), jnp.float32))
+            model.log_to_tensorboard(test_filenames[0], psnr, sample_batch=sample)
             model.save_model(trial=trial)
             model.save_train_state(trial=trial)
             model.update_epoch_and_lr()
@@ -146,8 +153,8 @@ def _train_loop_scan(model, cfg, trial, test_filenames, steps_per_epoch):
 
     while model.lr > cfg.end_lr:
         model.opt_state = trainer.set_lr(model.opt_state, model.lr)
-        idx = model.train.epoch_indices(steps_per_epoch, model.batch_num, rng)
-        idx = trainer.shard_indices(idx)
+        idx_np = model.train.epoch_indices(steps_per_epoch, model.batch_num, rng)
+        idx = trainer.shard_indices(idx_np)
         epoch_rng = jax.random.PRNGKey(model.step)
         (model.params, model.opt_state, model.bn_state, m) = scan_fn(
             model.params, model.opt_state, model.bn_state, store, idx, epoch_rng)
@@ -163,7 +170,10 @@ def _train_loop_scan(model, cfg, trial, test_filenames, steps_per_epoch):
 
         psnr, ssim = model.evaluate(test_filenames)
         model.print_status(psnr, ssim, log=True)
-        model.log_to_tensorboard(test_filenames[0], psnr)
+        # first step's minibatch feeds the gradient/tensor summaries
+        sample = (trainer._gather_batch(store, jnp.asarray(idx_np[0]))
+                  if cfg.save_weights else None)
+        model.log_to_tensorboard(test_filenames[0], psnr, sample_batch=sample)
         model.save_model(trial=trial)
         model.save_train_state(trial=trial)
         model.update_epoch_and_lr()
@@ -188,12 +198,14 @@ def _train_loop_dynamic(model, cfg, trial, test_filenames, steps_per_epoch):
         model.opt_state = trainer.set_lr(model.opt_state, model.lr)
         mses = []
         losses = []
+        sample = None
         for _ in range(steps_per_epoch):
             crops = model.train.next_crop_batch()
             x, x2, y = transform(crops)
+            sample = Batch(x, x2, y)
             rng = jax.random.PRNGKey(model.step)
             model.params, model.opt_state, model.bn_state, m = step_fn(
-                model.params, model.opt_state, model.bn_state, Batch(x, x2, y), rng)
+                model.params, model.opt_state, model.bn_state, sample, rng)
             mses.append(m.mse)
             losses.append(m.image_loss)
             model.step += 1
@@ -207,7 +219,7 @@ def _train_loop_dynamic(model, cfg, trial, test_filenames, steps_per_epoch):
 
         psnr, ssim = model.evaluate(test_filenames)
         model.print_status(psnr, ssim, log=True)
-        model.log_to_tensorboard(test_filenames[0], psnr)
+        model.log_to_tensorboard(test_filenames[0], psnr, sample_batch=sample)
         model.save_model(trial=trial)
         model.save_train_state(trial=trial)
         model.update_epoch_and_lr()

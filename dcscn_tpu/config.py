@@ -139,11 +139,17 @@ class Config:
     # consumes the skip-concat directly; inferred by the ckpt converter)
     mesh_data: int = 0  # data-parallel mesh size; 0 = all visible devices
     mesh_spatial: int = 1  # spatial-parallel inference mesh (rows / tile batch)
-    tile_size: int = 0  # LR tile size for tiled inference; 0 = whole image
+    tile_size: int = -1  # LR tile size for tiled inference; 0 = whole image,
+    # -1 = auto: 48 on a TPU backend (one compiled program for any image
+    # size — the reference gets this from its dynamic placeholder,
+    # DCSCN.py:224-228; whole-image mode would recompile per shape at
+    # 2-10 min/remote compile), 0 on CPU where compiles are cheap.
+    # Resolved by resolve_backend_defaults().
     remat: bool = False  # jax.checkpoint the forward in training: recompute
     # activations in backward instead of storing them (trade FLOPs for HBM;
     # enables much larger batch/patch sizes)
-    jit_cache_dir: str = ""  # persistent XLA compilation cache dir ("" = off)
+    jit_cache_dir: str = "auto"  # persistent XLA compilation cache dir;
+    # "auto" = .jax_cache on a TPU backend, off on CPU; "off"/"none"/"" = off
     platform: str = ""  # jax backend override ("cpu" to bypass the TPU
     # plugin the machine's sitecustomize forces); "" = leave default
     platform_devices: int = 0  # with --platform=cpu: number of virtual CPU
@@ -324,12 +330,48 @@ _HELP = {
     "mesh_spatial": "Spatial-parallel inference mesh size: whole-image rows "
     "shard with halo exchange; in tile mode the tile batch shards across "
     "the mesh",
-    "tile_size": "LR tile size for tiled inference (0 = whole image)",
-    "jit_cache_dir": "Persistent XLA compilation cache directory",
+    "tile_size": "LR tile size for tiled inference (0 = whole image, "
+    "-1 = auto: 48 on TPU so any image size reuses one compiled program, "
+    "0 on CPU)",
+    "jit_cache_dir": "Persistent XLA compilation cache directory "
+    "('auto' = .jax_cache on TPU, off on CPU; 'off'/'none' = disabled)",
     "platform": "JAX backend override (e.g. 'cpu'); empty = default",
     "platform_devices": "Virtual CPU device count with --platform=cpu "
     "(0 = 1); lets mesh paths run without real chips",
 }
+
+
+def resolve_backend_defaults(cfg: "Config"):
+    """Resolve backend-sensitive sentinel fields against the ACTIVE jax
+    backend; returns (resolved_cfg, notes) where notes are human-readable
+    lines describing each auto-choice.
+
+    TPU-safe defaults (VERDICT r3): on the TPU backend whole-image
+    inference compiles one program per distinct image shape at 2-10 min per
+    remote compile, so `tile_size` auto-resolves to 48 (bucketed tiled
+    mode: a handful of programs cover any image size — the property the
+    reference gets from a single dynamic placeholder, DCSCN.py:224-228)
+    and the persistent XLA compilation cache defaults on. On CPU compiles
+    are cheap and whole-image mode stays the default."""
+    import jax
+
+    backend = jax.default_backend()
+    notes = []
+    if cfg.tile_size < 0:
+        tile = 48 if backend != "cpu" else 0
+        notes.append("tile_size=auto resolved to %d (backend: %s)"
+                     % (tile, backend))
+        cfg = cfg.replace(tile_size=tile)
+    jc = cfg.jit_cache_dir
+    if jc == "auto":
+        jc = ".jax_cache" if backend != "cpu" else ""
+        if jc:
+            notes.append("jit_cache_dir=auto resolved to %s (backend: %s)"
+                         % (jc, backend))
+        cfg = cfg.replace(jit_cache_dir=jc)
+    elif jc.lower() in ("off", "none"):
+        cfg = cfg.replace(jit_cache_dir="")
+    return cfg, notes
 
 
 def apply_platform(cfg: "Config") -> None:
@@ -409,4 +451,5 @@ def parse_args(
     cfg_fields = {f.name for f in dataclasses.fields(Config)}
     cfg = Config(**{k: v for k, v in vars(ns).items() if k in cfg_fields})
     apply_platform(cfg)
+    cfg, _notes = resolve_backend_defaults(cfg)  # idempotent; api re-logs
     return cfg, ns

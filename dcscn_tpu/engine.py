@@ -38,6 +38,19 @@ from dcscn_tpu.ops import resize as resize_ops
 
 _GROUP_CHUNK = 64  # windows per lax.map chunk in run_many's group dispatch
 
+# cap on windows per group dispatch: bounds HBM for run_many's canvas path
+# regardless of dataset size (LR 82x82 + HR 164x164 f32 windows are ~240 KB
+# each incl. output, so 4096 windows stay near ~1 GB on a 16 GB chip)
+_MAX_GROUP_WINDOWS = 4096
+
+# dihedral member j in 4..7 of image x equals flip _T_MEMBER[j] of x^T
+# (verified: fwd4=flipud(T), fwd5=fliplr(T), fwd6=T, fwd7=flipud(fliplr(T))),
+# and summing inv_j(f(fwd_j(x))) over j in 4..e-1 equals the TRANSPOSE of the
+# flip-subset ensemble sum of x^T — the identity behind the two-dispatch
+# non-square tiled ensemble (the reference instead runs 8 sequential
+# sess.runs, DCSCN.py:559-573)
+_T_MEMBER = {4: 1, 5: 2, 6: 0, 7: 3}
+
 
 def _bucket(n: int) -> int:
     """Round a tile count up to a small set of buckets (1,2,4,8,16,24,32,...)
@@ -157,10 +170,16 @@ class InferenceEngine:
 
         return jax.jit(fwd_ens)
 
-    def _tiled_fn(self, ensemble: int, own_h: int, own_w: int):
+    def _tiled_fn(self, ensemble: int, own_h: int, own_w: int,
+                  members: Optional[Tuple[int, ...]] = None):
         """Jitted fn (params, batch [N,h,w,1], batch2 [N,H,W,1], offs [N,2])
         -> per-tile ensembled outputs cropped to their OWNED regions
         [N, own_h, own_w, 1] (HR units), all in ONE dispatch.
+
+        With ``members`` (a subset of flips 0..3) the fn instead returns the
+        un-normalized SUM over exactly those dihedral members — the caller
+        combines two such sums (original + transposed image) into a full
+        8-member ensemble for non-square windows in TWO dispatches total.
 
         Two fusions relative to the reference loop (DCSCN.py:559-573):
         - the 8 dihedral variants of each *window* are generated on device
@@ -211,16 +230,22 @@ class InferenceEngine:
             return jax.vmap(one)(offs, out)
 
         def fwd(params, batch, batch2, offs):
-            if ensemble <= 1:
+            if members is None and ensemble <= 1:
                 y, _ = dcscn.apply(params, batch, batch2, cfg, training=False,
                                    bn_state=bn, compute_dtype=cdt)
                 return crop_own(y, offs)
 
-            # slice to the ensemble count: lax.switch traces EVERY branch,
-            # and the transposed branches (4-7) only shape-check for square
-            # windows (ensemble > 4 implies square via the caller's fallback)
-            fb = fwd_branches[:ensemble]
-            ib = inv_branches[:ensemble]
+            # slice the branch tables: lax.switch traces EVERY branch, and
+            # the transposed branches (4-7) only shape-check for square
+            # windows (members mode and ensemble <= 4 never reach them)
+            if members is not None:
+                fb = fwd_branches[:4]
+                ib = inv_branches[:4]
+                idxs = jnp.asarray(members, jnp.int32)
+            else:
+                fb = fwd_branches[:ensemble]
+                ib = inv_branches[:ensemble]
+                idxs = jnp.arange(ensemble, dtype=jnp.int32)
 
             def body(acc, i):
                 xi = jax.lax.switch(i, fb, batch)
@@ -230,8 +255,9 @@ class InferenceEngine:
                 return acc + jax.lax.switch(i, ib, yi), None
 
             acc, _ = jax.lax.scan(
-                body, jnp.zeros(batch2.shape, batch2.dtype),
-                jnp.arange(ensemble, dtype=jnp.int32))
+                body, jnp.zeros(batch2.shape, batch2.dtype), idxs)
+            if members is not None:
+                return crop_own(acc, offs)  # raw sum; caller normalizes
             return crop_own(acc / float(ensemble), offs)
 
         return jax.jit(fwd)
@@ -243,23 +269,47 @@ class InferenceEngine:
             self._fns[key] = fn
         return fn
 
-    def _dispatch(self, fn, *args, retries: int = 2, params=None):
-        """Run a compiled forward with transient-failure retry. Remote TPU
-        runtimes occasionally surface FAILED_PRECONDITION on an otherwise
-        healthy program; params are immutable here so a retry is safe."""
+    def _dispatch_deferred(self, fn, *args, retries: int = 2, params=None):
+        """Submit a compiled forward WITHOUT blocking and return a thunk
+        that materializes the result (np.asarray) on call.
+
+        jax dispatch is asynchronous: issuing many forwards before the first
+        materialization lets the runtime pipeline host->device transfers and
+        compute across dispatches, which is the whole ballgame when every
+        dispatch carries ~50 ms of relay latency (results/r3 profile).
+        Transient runtime failures (remote TPU runtimes occasionally surface
+        FAILED_PRECONDITION on a healthy program) are retried by re-issuing;
+        params are immutable here so that is safe."""
         import jax.errors
 
         if params is None:
             params = self.params
-        last = None
-        for attempt in range(retries + 1):
-            try:
-                return np.asarray(fn(params, *args))
-            except jax.errors.JaxRuntimeError as e:  # pragma: no cover
-                last = e
-                if attempt < retries:
-                    time.sleep(1.0 + attempt)
-        raise last
+        state = {}
+        try:
+            state["dev"] = fn(params, *args)
+        except jax.errors.JaxRuntimeError:  # pragma: no cover - transient
+            pass  # re-issued with backoff in materialize()
+
+        def materialize():
+            last = None
+            for attempt in range(retries + 1):
+                try:
+                    if "dev" not in state:
+                        state["dev"] = fn(params, *args)
+                    return np.asarray(state.pop("dev"))
+                except jax.errors.JaxRuntimeError as e:  # pragma: no cover
+                    state.pop("dev", None)
+                    last = e
+                    if attempt < retries:
+                        time.sleep(1.0 + attempt)
+            raise last
+
+        return materialize
+
+    def _dispatch(self, fn, *args, retries: int = 2, params=None):
+        """Blocking dispatch (issue + materialize) with transient retry."""
+        return self._dispatch_deferred(fn, *args, retries=retries,
+                                       params=params)()
 
     def _spatial_mesh(self, n: int):
         """A (1, n) mesh and params replicated over it (both cached)."""
@@ -286,6 +336,19 @@ class InferenceEngine:
     ) -> np.ndarray:
         """Reference `do()` semantics (DCSCN.py:547-586): [h,w,1] float Y in
         0..255 -> [h*s, w*s, 1] float output in 0..255."""
+        return self._run_deferred(input_image, bicubic_input_image,
+                                  self_ensemble)()
+
+    def _run_deferred(
+        self,
+        input_image: np.ndarray,
+        bicubic_input_image: Optional[np.ndarray] = None,
+        self_ensemble: Optional[int] = None,
+    ):
+        """`run`, split into an eager submission phase and a returned thunk
+        that materializes the result. Issuing many images' dispatches before
+        materializing any of them pipelines transfer/compute across images
+        (see `_dispatch_deferred`); `run_many` builds on this."""
         cfg = self.cfg
         ensemble = cfg.self_ensemble if self_ensemble is None else self_ensemble
         ensemble = max(1, min(int(ensemble), 8))  # flag range is [1, 8]
@@ -301,15 +364,18 @@ class InferenceEngine:
             bicubic_input_image = np.multiply(bicubic_input_image, cfg.max_value / 255.0)
 
         if cfg.tile_size > 0:
-            output = self._run_tiled(input_image, bicubic_input_image, ensemble)
+            fin = self._run_tiled_deferred(input_image, bicubic_input_image, ensemble)
         elif self._mesh is not None:
-            output = self._run_spatial(input_image, bicubic_input_image, ensemble)
+            # spatial mode drives multi-dispatch logic of its own: keep sync
+            x, x2 = input_image, bicubic_input_image
+            fin = lambda: self._run_spatial(x, x2, ensemble)
         else:
-            output = self._run_whole(input_image, bicubic_input_image, ensemble)
+            fin = self._run_whole_deferred(input_image, bicubic_input_image, ensemble)
 
         if cfg.max_value != 255.0:
-            output = np.multiply(output, 255.0 / cfg.max_value)
-        return output
+            inner = fin
+            fin = lambda: np.multiply(inner(), 255.0 / cfg.max_value)
+        return fin
 
     # ------------------------------------------------------------------
     def run_many(
@@ -317,21 +383,29 @@ class InferenceEngine:
         inputs,
         bicubic_inputs=None,
         self_ensemble: Optional[int] = None,
+        strategy: str = "auto",
     ):
         """Batched-dataset inference: SR every image in `inputs` with the
         per-dispatch overhead amortized across the whole set.
 
-        Images sharing an identical tile layout (same window and owned-block
-        sizes — e.g. all 100 bsd100 images) are packed into ONE canvas
-        upload + ONE window gather + ONE model dispatch that lax.map's over
-        fixed-size window chunks, instead of >= 3 dispatches per image.
-        Measured relay overhead here is ~50 ms/dispatch (results/r3), so
-        this cuts dataset eval wall time several-fold. Outputs are
-        bit-identical to per-image `run` (windows never cross image
-        boundaries in the canvas; same tiled program does the math).
+        Two strategies:
 
-        Images that cannot join a group (odd sizes, transposed-ensemble
-        non-square windows, whole-image/spatial modes) fall back to `run`.
+        - ``pipeline`` (default): every image's dispatches are ISSUED before
+          any result is materialized. jax dispatch is async, so transfers
+          and compute of image i+1..n overlap the ~50 ms relay latency of
+          image i's readback — the per-image path's programs are reused
+          bit-for-bit, so outputs are identical to `run`.
+        - ``group``: images sharing an identical tile layout (e.g. all 100
+          bsd100 images) are packed into one canvas upload + one window
+          gather + one chunked model dispatch (HBM-capped at
+          `_MAX_GROUP_WINDOWS` windows per dispatch). Fewer, bigger
+          dispatches; kept for A/B measurement and relay profiles where
+          submission itself is expensive.
+
+        ``auto`` resolves to ``pipeline`` (measured faster both warm and
+        cold on bsd100, results/r4/bench_run_many.json). Non-square windows
+        with ensemble > 4 are handled by both strategies via the
+        two-dispatch transposed-sum scheme (see `_run_tiled_deferred`).
         Returns a list of [h*s, w*s, 1] float outputs in input order.
         """
         cfg = self.cfg
@@ -344,10 +418,13 @@ class InferenceEngine:
         x2s = list(bicubic_inputs)
 
         results: List[Optional[np.ndarray]] = [None] * len(xs)
-        if cfg.tile_size <= 0 or self.n_spatial > 1 or len(xs) < 2:
-            for i, (x, x2) in enumerate(zip(xs, x2s)):
-                results[i] = self.run(x, x2, self_ensemble=ensemble)
-            return results
+        if strategy == "auto":
+            strategy = "pipeline"
+        if (strategy != "group" or cfg.tile_size <= 0 or self.n_spatial > 1
+                or len(xs) < 2):
+            pending = [self._run_deferred(x, x2, self_ensemble=ensemble)
+                       for x, x2 in zip(xs, x2s)]
+            return [p() for p in pending]
 
         # group images by exact tile layout (window + owned-block sizes)
         groups: Dict[Tuple, List[int]] = {}
@@ -355,26 +432,57 @@ class InferenceEngine:
         for i, x in enumerate(xs):
             layout = self._tile_layout(x.shape[0], x.shape[1])
             layouts.append(layout)
-            key = layout[0]  # (win_h, win_w, own_h, own_w)
-            if ensemble > 4 and key[0] != key[1]:
-                key = ("fallback", i)  # transposed members need square wins
-            groups.setdefault(key, []).append(i)
+            groups.setdefault(layout[0], []).append(i)
 
         for key, members in groups.items():
-            if key[0] == "fallback" or len(members) < 2:
+            if len(members) < 2:
                 for i in members:
                     results[i] = self.run(xs[i], x2s[i], self_ensemble=ensemble)
                 continue
-            outs = self._run_tiled_group(
-                [xs[i] for i in members], [x2s[i] for i in members],
-                [layouts[i] for i in members], ensemble)
-            for i, out in zip(members, outs):
-                results[i] = out
+            # HBM cap: split oversized groups at image boundaries so one
+            # dispatch never gathers more than _MAX_GROUP_WINDOWS windows
+            subsets, sub, count = [], [], 0
+            for i in members:
+                c = len(layouts[i][1])
+                if sub and count + c > _MAX_GROUP_WINDOWS:
+                    subsets.append(sub)
+                    sub, count = [], 0
+                sub.append(i)
+                count += c
+            subsets.append(sub)
+            for sub in subsets:
+                outs = self._run_tiled_group(
+                    [xs[i] for i in sub], [x2s[i] for i in sub],
+                    [layouts[i] for i in sub], ensemble)
+                for i, out in zip(sub, outs):
+                    results[i] = out
         return results
 
     def _run_tiled_group(self, xs, x2s, layouts, ensemble):
         """One canvas + one gather + one chunked model dispatch for a group
-        of images with identical tile layouts (see run_many)."""
+        of images with identical tile layouts (see run_many). Non-square
+        windows with ensemble > 4 run as TWO group dispatches (members 0-3
+        on the originals + the transposed flip-subset on the transposed
+        images, summed — same identity as `_run_tiled_deferred`), both
+        issued before either materializes."""
+        win_h, win_w, _own_h, _own_w = layouts[0][0]
+        if ensemble > 4 and win_h != win_w:
+            fin_a = self._group_dispatch(xs, x2s, layouts, members=(0, 1, 2, 3))
+            xts = [np.ascontiguousarray(np.transpose(x, (1, 0, 2))) for x in xs]
+            x2ts = [np.ascontiguousarray(np.transpose(x2, (1, 0, 2))) for x2 in x2s]
+            layouts_t = [self._tile_layout(x.shape[0], x.shape[1]) for x in xts]
+            members_b = tuple(sorted(_T_MEMBER[j] for j in range(4, ensemble)))
+            fin_b = self._group_dispatch(xts, x2ts, layouts_t, members=members_b)
+            outs_a, outs_b = fin_a(), fin_b()
+            return [(a + np.transpose(b, (1, 0, 2))) / float(ensemble)
+                    for a, b in zip(outs_a, outs_b)]
+        return self._group_dispatch(xs, x2s, layouts, ensemble=ensemble)()
+
+    def _group_dispatch(self, xs, x2s, layouts, ensemble: int = 1,
+                        members: Optional[Tuple[int, ...]] = None):
+        """Deferred canvas+gather+chunked-dispatch over one image group;
+        returns a thunk producing the per-image assembled outputs (ensemble
+        MEAN, or raw member SUM when `members` is given)."""
         cfg = self.cfg
         s = cfg.scale
         win_h, win_w, own_h, own_w = layouts[0][0]
@@ -421,32 +529,38 @@ class InferenceEngine:
             jnp.asarray(canvas), rows_i, cols_i, win_h, win_w)
         batch2 = pallas_kernels.gather_windows(
             jnp.asarray(canvas2), rows_i * s, cols_i * s, win_h * s, win_w * s)
+        mode_key = ("m",) + members if members is not None else ensemble
         fn = self._get_fn(
-            ("tilemany", n_chunks, chunk, win_h, win_w, ensemble, own_h, own_w),
+            ("tilemany", n_chunks, chunk, win_h, win_w, mode_key, own_h, own_w),
             lambda: self._tiled_many_fn(ensemble, s * own_h, s * own_w,
-                                        chunk, n_chunks))
-        out = self._dispatch(fn, batch, batch2, jnp.asarray(offs_arr))[:n]
-        if scale_pre is not None:
-            out = out * (1.0 / scale_pre)
+                                        chunk, n_chunks, members=members))
+        fin = self._dispatch_deferred(fn, batch, batch2, jnp.asarray(offs_arr))
 
-        results = []
-        k = 0
-        for x, (_, _, _, slots), cnt in zip(xs, layouts, counts):
-            h, w = x.shape[:2]
-            result = np.zeros((h * s, w * s, 1), np.float32)
-            for tile_out, (o_r, o_c) in zip(out[k : k + cnt], slots):
-                result[s * o_r : s * (o_r + own_h),
-                       s * o_c : s * (o_c + own_w), :] = tile_out
-            results.append(result)
-            k += cnt
-        return results
+        def finish():
+            out = fin()[:n]
+            if scale_pre is not None:
+                out = out * (1.0 / scale_pre)
+            results = []
+            k = 0
+            for x, (_, _, _, slots), cnt in zip(xs, layouts, counts):
+                h, w = x.shape[:2]
+                result = np.zeros((h * s, w * s, 1), np.float32)
+                for tile_out, (o_r, o_c) in zip(out[k : k + cnt], slots):
+                    result[s * o_r : s * (o_r + own_h),
+                           s * o_c : s * (o_c + own_w), :] = tile_out
+                results.append(result)
+                k += cnt
+            return results
+
+        return finish
 
     def _tiled_many_fn(self, ensemble: int, own_h: int, own_w: int,
-                       chunk: int, n_chunks: int):
+                       chunk: int, n_chunks: int,
+                       members: Optional[Tuple[int, ...]] = None):
         """Jitted fn over a whole image-group's window batch: lax.map of the
         single-chunk tiled program (`_tiled_fn`, inlined) over fixed-size
         chunks — the entire dataset group runs in ONE dispatch."""
-        inner = self._tiled_fn(ensemble, own_h, own_w)
+        inner = self._tiled_fn(ensemble, own_h, own_w, members=members)
 
         def fwd(params, batch, batch2, offs):
             bs = batch.reshape((n_chunks, chunk) + batch.shape[1:])
@@ -464,18 +578,21 @@ class InferenceEngine:
 
     # ------------------------------------------------------------------
     def _run_whole(self, x: np.ndarray, x2: np.ndarray, ensemble: int) -> np.ndarray:
+        return self._run_whole_deferred(x, x2, ensemble)()
+
+    def _run_whole_deferred(self, x: np.ndarray, x2: np.ndarray, ensemble: int):
         h, w = x.shape[:2]
         if ensemble > 1:
             fn = self._get_fn(("ens", h, w, ensemble), lambda: self._forward_fn(ensemble))
-            return self._dispatch(fn, jnp.asarray(x, jnp.float32),
-                                  jnp.asarray(x2, jnp.float32))
+            return self._dispatch_deferred(fn, jnp.asarray(x, jnp.float32),
+                                           jnp.asarray(x2, jnp.float32))
         fn = self._get_fn(("fwd", 1, h, w), lambda: self._forward_fn(1))
-        out = self._dispatch(
+        fin = self._dispatch_deferred(
             fn,
             jnp.asarray(x, jnp.float32)[None],
             jnp.asarray(x2, jnp.float32)[None],
         )
-        return out[0]
+        return lambda: fin()[0]
 
     # ------------------------------------------------------------------
     def _spatial_plan(self, h: int) -> Tuple[int, int]:
@@ -584,33 +701,53 @@ class InferenceEngine:
 
     # ------------------------------------------------------------------
     def _run_tiled(self, x: np.ndarray, x2: np.ndarray, ensemble: int) -> np.ndarray:
-        """Exact tiled inference. Ensemble members are generated per-WINDOW
-        on device and fused into the same dispatch (`_tiled_fn`);
-        the result equals whole-image ensemble output (see that docstring).
-        Non-square windows with transposed members (ensemble > 4) fall back
-        to per-member tiled passes (flip whole image, tile, un-flip)."""
+        return self._run_tiled_deferred(x, x2, ensemble)()
+
+    def _run_tiled_deferred(self, x: np.ndarray, x2: np.ndarray, ensemble: int):
+        """Exact tiled inference (deferred: returns a materializing thunk).
+        Ensemble members are generated per-WINDOW on device and fused into
+        the same dispatch (`_tiled_fn`); the result equals whole-image
+        ensemble output (see that docstring).
+
+        Non-square windows with transposed members (ensemble > 4) run in
+        TWO dispatches instead of the 8 sequential per-member passes of
+        rounds 1-3 (and of the reference, DCSCN.py:559-573): members 0-3
+        sum in one tiled pass on x, and members 4..e-1 equal the TRANSPOSE
+        of the flip-subset `_T_MEMBER` sum over the tiled pass on x^T —
+        dihedral identity: inv_j(f(fwd_j(x))) == T(flip_m(f(flip_m(T(x)))))
+        with m = _T_MEMBER[j], since fwd_j = flip_m ∘ T and the flips are
+        involutions. Both dispatches are issued before either materializes.
+        """
         cfg = self.cfg
-        s = cfg.scale
         halo = self.halo_lr
         interior = max(cfg.tile_size, 8)
         h, w = x.shape[:2]
-        rows = _tile_plan(h, interior, halo)
-        cols = _tile_plan(w, interior, halo)
         win_h = min(h, interior + 2 * halo)
         win_w = min(w, interior + 2 * halo)
 
         if ensemble > 4 and win_h != win_w:
-            # transposed members change the window shape: per-member passes
-            acc = None
-            for i in range(ensemble):
-                xi = flips.flip(x, i)
-                x2i = flips.flip(x2, i)
-                yi = self._run_tiled(np.ascontiguousarray(xi),
-                                     np.ascontiguousarray(x2i), 1)
-                yi = flips.flip(yi, i, invert=True)
-                acc = yi if acc is None else acc + yi
-            return acc / float(ensemble)
+            fin_a = self._tiled_dispatch(x, x2, members=(0, 1, 2, 3))
+            xt = np.ascontiguousarray(np.transpose(x, (1, 0, 2)))
+            x2t = np.ascontiguousarray(np.transpose(x2, (1, 0, 2)))
+            members_b = tuple(sorted(_T_MEMBER[j] for j in range(4, ensemble)))
+            fin_b = self._tiled_dispatch(xt, x2t, members=members_b)
 
+            def finish():
+                acc = fin_a() + np.transpose(fin_b(), (1, 0, 2))
+                return acc / float(ensemble)
+
+            return finish
+
+        return self._tiled_dispatch(x, x2, ensemble=ensemble)
+
+    def _tiled_dispatch(self, x: np.ndarray, x2: np.ndarray, ensemble: int = 1,
+                        members: Optional[Tuple[int, ...]] = None):
+        """Deferred single tiled pass: gather windows, one model dispatch,
+        thunk assembles owned blocks into the [h*s, w*s, 1] output (ensemble
+        MEAN, or raw member SUM when `members` is given)."""
+        cfg = self.cfg
+        s = cfg.scale
+        h, w = x.shape[:2]
         (win_h, win_w, own_h, own_w), origins, offs, slots = \
             self._tile_layout(h, w)
 
@@ -648,9 +785,11 @@ class InferenceEngine:
             shard = NamedSharding(mesh, P("spatial", None, None, None))
             batch = jax.device_put(batch, shard)
             batch2 = jax.device_put(batch2, shard)
+        mode_key = ("m",) + members if members is not None else ensemble
         fn = self._get_fn(
-            ("tile", n_pad, win_h, win_w, ensemble, own_h, own_w),
-            lambda: self._tiled_fn(ensemble, s * own_h, s * own_w))
+            ("tile", n_pad, win_h, win_w, mode_key, own_h, own_w),
+            lambda: self._tiled_fn(ensemble, s * own_h, s * own_w,
+                                   members=members))
         offs_dev = jnp.asarray(offs_arr)
         if params is not None:
             # keep all operands on the mesh's device set
@@ -659,9 +798,14 @@ class InferenceEngine:
             mesh, _ = self._spatial_mesh(self.n_spatial)
             offs_dev = jax.device_put(
                 offs_dev, NamedSharding(mesh, P("spatial", None)))
-        out = self._dispatch(fn, batch, batch2, offs_dev, params=params)[:n]
+        fin = self._dispatch_deferred(fn, batch, batch2, offs_dev, params=params)
 
-        result = np.zeros((h * s, w * s, 1), dtype=np.float32)
-        for tile_out, (o_r, o_c) in zip(out, slots):
-            result[s * o_r : s * (o_r + own_h), s * o_c : s * (o_c + own_w), :] = tile_out
-        return result
+        def finish():
+            out = fin()[:n]
+            result = np.zeros((h * s, w * s, 1), dtype=np.float32)
+            for tile_out, (o_r, o_c) in zip(out, slots):
+                result[s * o_r : s * (o_r + own_h),
+                       s * o_c : s * (o_c + own_w), :] = tile_out
+            return result
+
+        return finish

@@ -86,6 +86,7 @@ class Trainer:
         self.compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         self._train_step = None
         self._epoch_scan = None
+        self._grad_sample = None
 
     def init_opt_state(self, params):
         return self.optimizer.init(params)
@@ -108,6 +109,34 @@ class Trainer:
         if self._train_step is None:
             self._train_step = jax.jit(self._step_impl, donate_argnums=(0, 1, 2))
         return self._train_step
+
+    # ------------------------------------------------------------------
+    def grad_sample(self):
+        """Compiled observability probe: (params, bn_state, batch, rng) ->
+        (grads, y_) on one minibatch, WITHOUT an optimizer update. Feeds the
+        per-epoch gradient mean/stddev/histogram and output-tensor summaries
+        the reference logs under --save_weights (DCSCN.py:238, :329,
+        :397-404); one extra jitted grad eval per epoch keeps the fused
+        epoch scan free of per-step summary plumbing."""
+        if self._grad_sample is not None:
+            return self._grad_sample
+        cfg = self.cfg
+
+        def fn(params, bn_state, batch: Batch, rng):
+            def loss_and_y(p):
+                y, _ = dcscn.apply(p, batch.x, batch.x2, cfg, training=True,
+                                   dropout_rng=rng, bn_state=bn_state,
+                                   compute_dtype=self.compute_dtype)
+                diff = y - batch.y
+                mse = jnp.mean(jnp.square(diff))
+                image_loss = jnp.mean(jnp.abs(diff)) if cfg.use_l1_loss else mse
+                return image_loss + l2_penalty(p, cfg), y
+
+            (_, y), grads = jax.value_and_grad(loss_and_y, has_aux=True)(params)
+            return grads, y
+
+        self._grad_sample = jax.jit(fn)
+        return self._grad_sample
 
     # ------------------------------------------------------------------
     def _gather_batch(self, store, idx):

@@ -71,22 +71,51 @@ class SummaryLogger:
                 self.train_writer.add_histogram(tag, arr, step)
                 count += 1
 
+    def grad_summaries(self, grads, step: int, max_tensors: Optional[int] = None):
+        """Mean/stddev/histogram per GRADIENT tensor (reference logs every
+        gradient under --save_weights: DCSCN.py:397-404 via
+        helper/utilty.py:427-443)."""
+        count = 0
+        for lname, layer in grads.items():
+            for k, v in layer.items():
+                if max_tensors is not None and count >= max_tensors:
+                    return
+                arr = np.asarray(v)
+                tag = "%s/%s/gradients" % (lname, k)
+                self.train_writer.add_scalar(tag + "/mean", float(arr.mean()), step)
+                self.train_writer.add_scalar(tag + "/stddev", float(arr.std()), step)
+                self.train_writer.add_histogram(tag, arr, step)
+                count += 1
+
+    def tensor_summaries(self, tag: str, arr, step: int):
+        """Mean/stddev/histogram of one tensor — used for the training
+        input x ("X/output") and network output y_ ("Y_/output"), matching
+        the reference's add_summaries calls (DCSCN.py:238, :329)."""
+        arr = np.asarray(arr)
+        self.train_writer.add_scalar(tag + "/mean", float(arr.mean()), step)
+        self.train_writer.add_scalar(tag + "/stddev", float(arr.std()), step)
+        self.train_writer.add_histogram(tag, arr, step)
+
     def kernel_images(self, params, step: int, max_outputs: int = 20):
-        """Conv kernels as image grids (reference: helper/utilty.py:460-469)."""
+        """Conv kernels as image grids (reference: helper/utilty.py:460-469,
+        which logs EVERY conv weight — including the separable dw/pw pair
+        and 1x1 NIN kernels)."""
         if not _HAS_TBX:
             return
         for lname, layer in params.items():
-            w = layer.get("w")
-            if w is None or w.shape[0] <= 1:
-                continue
-            arr = np.asarray(w)  # [k,k,in,out]
-            k = arr.shape[0]
-            imgs = arr.reshape(k, k, -1).transpose(2, 0, 1)[:max_outputs]
-            lo, hi = imgs.min(), imgs.max()
-            imgs = (imgs - lo) / (hi - lo + 1e-9)
-            for i, im in enumerate(imgs):
-                self.train_writer.add_image("%s/kernel%d" % (lname, i), im[None], step,
-                                            dataformats="CHW")
+            for key in ("w", "dw", "pw"):
+                w = layer.get(key)
+                if w is None or np.ndim(w) != 4:
+                    continue
+                arr = np.asarray(w)  # [k,k,in,out]
+                k = arr.shape[0]
+                imgs = arr.reshape(k, arr.shape[1], -1).transpose(2, 0, 1)[:max_outputs]
+                lo, hi = imgs.min(), imgs.max()
+                imgs = (imgs - lo) / (hi - lo + 1e-9)
+                prefix = lname if key == "w" else "%s/%s" % (lname, key)
+                for i, im in enumerate(imgs):
+                    self.train_writer.add_image("%s/kernel%d" % (prefix, i),
+                                                im[None], step, dataformats="CHW")
 
     def flush(self):
         self.train_writer.flush()

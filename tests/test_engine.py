@@ -82,7 +82,9 @@ def test_tiled_equals_whole(scale):
     eng_t = InferenceEngine(eng.params, cfg_t)
     tiled = eng_t.run(x, x2)
 
-    np.testing.assert_allclose(tiled, whole, rtol=1e-5, atol=5e-4)
+    # bit-exact on CPU: the shifted-window design reproduces every output
+    # pixel exactly (any halo/ownership bug is a hard red, not a tolerance)
+    assert float(np.abs(tiled - whole).max()) == 0.0
 
 
 def test_tiled_equals_whole_with_ensemble():
@@ -114,10 +116,12 @@ def test_tiled_fused_ensemble8_equals_whole():
     np.testing.assert_allclose(tiled, whole, rtol=1e-4, atol=1e-3)
 
 
-def test_tiled_ensemble8_nonsquare_window_fallback():
-    """A skinny image (window h != w) with transposed ensemble members takes
-    the per-member fallback and still equals the whole-image ensemble."""
-    cfg = CFG.replace(scale=2, self_ensemble=8)
+@pytest.mark.parametrize("ensemble", [5, 8])
+def test_tiled_ensemble8_nonsquare_window_two_dispatch(ensemble):
+    """A skinny image (window h != w) with transposed ensemble members runs
+    as exactly TWO member-sum dispatches (members 0-3 on x + the transposed
+    flip subset on x^T) and still equals the whole-image ensemble."""
+    cfg = CFG.replace(scale=2, self_ensemble=ensemble)
     eng = _make_engine(cfg, seed=5)
     rng = np.random.default_rng(6)
     x = rng.uniform(0, 255, (12, 61, 1)).astype(np.float32)
@@ -125,7 +129,10 @@ def test_tiled_ensemble8_nonsquare_window_fallback():
     whole = eng.run(x, x2)
     eng_t = InferenceEngine(eng.params, cfg.replace(tile_size=16))
     tiled = eng_t.run(x, x2)
-    assert not any(k[0] == "tile" and k[4] > 1 for k in eng_t._fns)
+    # only member-sum tiled programs — no per-member ens=1 fallback passes
+    tile_keys = [k for k in eng_t._fns if k[0] == "tile"]
+    assert len(tile_keys) == 2
+    assert all(isinstance(k[4], tuple) and k[4][0] == "m" for k in tile_keys)
     np.testing.assert_allclose(tiled, whole, rtol=1e-4, atol=1e-3)
 
 
@@ -192,12 +199,11 @@ def test_tiled_single_window_band_owns_full_axis(pixel_shuffler, scale):
         x2 = resize_ops.resize_image(x, scale)
         whole = InferenceEngine(eng_t.params, cfg.replace(tile_size=0)).run(x, x2)
         tiled = eng_t.run(x, x2)
-        # no unwritten (zero) tail, and exact equality with whole-image
-        assert np.abs(tiled).min() >= 0  # sanity
-        np.testing.assert_allclose(tiled, whole, rtol=1e-5, atol=5e-4)
+        # bit-exact on CPU: an unwritten tail band would be a hard red
+        assert float(np.abs(tiled - whole).max()) == 0.0
 
 
-def test_run_many_matches_per_image():
+def test_run_many_group_matches_per_image():
     """Cross-image batched tiled inference (one canvas + one gather + one
     chunked dispatch per layout group) must equal per-image run(), with
     odd-size images falling back transparently."""
@@ -209,23 +215,77 @@ def test_run_many_matches_per_image():
     xs.append(rng.uniform(0, 255, (30, 30, 1)).astype(np.float32))
     x2s = [resize_ops.resize_image(x, 2) for x in xs]
 
-    batched = eng.run_many(xs, x2s)
+    batched = eng.run_many(xs, x2s, strategy="group")
     assert any(k[0] == "tilemany" for k in eng._fns)
     for x, x2, out in zip(xs, x2s, batched):
-        np.testing.assert_allclose(out, eng.run(x, x2), rtol=1e-5, atol=5e-4)
+        assert float(np.abs(out - eng.run(x, x2)).max()) == 0.0
 
 
-def test_run_many_fused_ensemble8():
+def test_run_many_pipeline_matches_per_image():
+    """Default (pipelined) run_many issues every image's dispatches before
+    materializing any; same compiled programs as run() -> bit-identical."""
+    cfg = CFG.replace(scale=2, tile_size=16, self_ensemble=1)
+    eng = _make_engine(cfg, seed=13)
+    rng = np.random.default_rng(24)
+    xs = [rng.uniform(0, 255, (45, 61, 1)).astype(np.float32) for _ in range(2)]
+    xs.append(rng.uniform(0, 255, (30, 30, 1)).astype(np.float32))
+    x2s = [resize_ops.resize_image(x, 2) for x in xs]
+    batched = eng.run_many(xs, x2s)
+    assert not any(k[0] == "tilemany" for k in eng._fns)
+    for x, x2, out in zip(xs, x2s, batched):
+        assert float(np.abs(out - eng.run(x, x2)).max()) == 0.0
+
+
+def test_run_many_group_fused_ensemble8():
     """Grouped path with the fused x8 per-window ensemble (square windows)."""
     cfg = CFG.replace(scale=2, tile_size=16, self_ensemble=8)
     eng = _make_engine(cfg, seed=15)
     rng = np.random.default_rng(16)
     xs = [rng.uniform(0, 255, (45, 61, 1)).astype(np.float32) for _ in range(2)]
     x2s = [resize_ops.resize_image(x, 2) for x in xs]
-    batched = eng.run_many(xs, x2s)
+    batched = eng.run_many(xs, x2s, strategy="group")
     assert any(k[0] == "tilemany" and k[5] == 8 for k in eng._fns)
     for x, x2, out in zip(xs, x2s, batched):
         np.testing.assert_allclose(out, eng.run(x, x2), rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("strategy", ["pipeline", "group"])
+def test_run_many_ensemble8_nonsquare_windows(strategy):
+    """Skinny images (non-square windows) with ensemble 8 used to be
+    excluded from batching entirely (8 sequential passes each); both
+    strategies must now handle them via the two-dispatch transposed-sum
+    scheme and match per-image run()."""
+    cfg = CFG.replace(scale=2, tile_size=16, self_ensemble=8)
+    eng = _make_engine(cfg, seed=21)
+    rng = np.random.default_rng(22)
+    xs = [rng.uniform(0, 255, (12, 61, 1)).astype(np.float32) for _ in range(3)]
+    x2s = [resize_ops.resize_image(x, 2) for x in xs]
+    batched = eng.run_many(xs, x2s, strategy=strategy)
+    if strategy == "group":
+        # the two-pass group programs were built (member-sum mode)
+        assert any(k[0] == "tilemany" and isinstance(k[5], tuple)
+                   for k in eng._fns)
+    for x, x2, out in zip(xs, x2s, batched):
+        np.testing.assert_allclose(out, eng.run(x, x2), rtol=1e-4, atol=1e-3)
+
+
+def test_run_many_group_hbm_cap(monkeypatch):
+    """Oversized groups are split at image boundaries so one dispatch never
+    gathers more than _MAX_GROUP_WINDOWS windows (ADVICE r3: bound HBM use
+    regardless of dataset size)."""
+    from dcscn_tpu import engine as engine_mod
+
+    cfg = CFG.replace(scale=2, tile_size=16, self_ensemble=1)
+    eng = _make_engine(cfg, seed=23)
+    rng = np.random.default_rng(25)
+    xs = [rng.uniform(0, 255, (45, 61, 1)).astype(np.float32) for _ in range(4)]
+    x2s = [resize_ops.resize_image(x, 2) for x in xs]
+    n_windows = len(eng._tile_layout(45, 61)[1])
+    # cap so only 2 images fit per dispatch
+    monkeypatch.setattr(engine_mod, "_MAX_GROUP_WINDOWS", 2 * n_windows)
+    batched = eng.run_many(xs, x2s, strategy="group")
+    for x, x2, out in zip(xs, x2s, batched):
+        assert float(np.abs(out - eng.run(x, x2)).max()) == 0.0
 
 
 def test_run_many_single_window_band_group():
@@ -238,20 +298,20 @@ def test_run_many_single_window_band_group():
     shape = (16 + halo, 16 + halo)
     xs = [rng.uniform(0, 255, shape + (1,)).astype(np.float32) for _ in range(2)]
     x2s = [resize_ops.resize_image(x, 2) for x in xs]
-    batched = eng.run_many(xs, x2s)
+    batched = eng.run_many(xs, x2s, strategy="group")
     for x, x2, out in zip(xs, x2s, batched):
-        np.testing.assert_allclose(out, eng.run(x, x2), rtol=1e-5, atol=5e-4)
+        assert float(np.abs(out - eng.run(x, x2)).max()) == 0.0
 
 
-def test_run_many_max_value_rescale():
-    """run_many's grouped path must apply the same max_value pre/post
-    scaling as run() (reference DCSCN.py:552-557, :581-584)."""
+@pytest.mark.parametrize("strategy", ["pipeline", "group"])
+def test_run_many_max_value_rescale(strategy):
+    """run_many must apply the same max_value pre/post scaling as run()
+    (reference DCSCN.py:552-557, :581-584) in both strategies."""
     cfg = CFG.replace(scale=2, tile_size=16, self_ensemble=1, max_value=1.0)
     eng = _make_engine(cfg, seed=19)
     rng = np.random.default_rng(20)
     xs = [rng.uniform(0, 255, (45, 61, 1)).astype(np.float32) for _ in range(2)]
     x2s = [resize_ops.resize_image(x, 2) for x in xs]
-    batched = eng.run_many(xs, x2s)
-    assert any(k[0] == "tilemany" for k in eng._fns)
+    batched = eng.run_many(xs, x2s, strategy=strategy)
     for x, x2, out in zip(xs, x2s, batched):
         np.testing.assert_allclose(out, eng.run(x, x2), rtol=1e-4, atol=1e-3)

@@ -116,7 +116,9 @@ def main(argv=None):
     line = json.dumps(result)
     print(line)
     if args.out:
-        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        out_dir = os.path.dirname(args.out)
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
         with open(args.out, "w") as f:
             f.write(line + "\n")
     return 0 if ok else 1

@@ -37,6 +37,24 @@ def main(argv=None):
     if not os.path.isfile(src):
         raise SystemExit("missing %s" % src)
 
+    # gate BEFORE touching the canonical name: measure the candidate's
+    # floor PSNR first so a bad/corrupt candidate never replaces shipped
+    # weights (it used to copy first and only then measure)
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from test_shipped_checkpoints import _CKPT_FLOORS, _run_single_image
+
+    psnr = _run_single_image(args.src)
+    floor = _CKPT_FLOORS.get(args.dst)
+    if floor is not None and psnr < floor:
+        raise SystemExit(
+            "REFUSED: candidate %s img_001 PSNR %.3f is below the CI floor "
+            "%.2f for %s — canonical checkpoint left untouched"
+            % (args.src, psnr, floor, args.dst))
+
     shutil.copyfile(src, dst)
     with open(src + ".json") as f:
         meta = json.load(f)
@@ -45,15 +63,6 @@ def main(argv=None):
     with open(dst + ".json", "w") as f:
         json.dump(meta, f, indent=1)
     print("promoted %s -> %s" % (args.src, args.dst))
-
-    if args.platform == "cpu":
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-    sys.path.insert(0, os.path.join(REPO, "tests"))
-    from test_shipped_checkpoints import _run_single_image
-
-    psnr = _run_single_image(args.dst)
     print("img_001 PSNR (floor basis): %.3f  -> suggested floor %.2f"
           % (psnr, psnr - 0.25))
 
