@@ -38,7 +38,22 @@ def main():
                     "amortized away (xplane: ~71 ms/iter device vs ~120 ms "
                     "per individual dispatch through the remote tunnel)")
     ap.add_argument("--jit_cache_dir", type=str, default="/root/repo/.jax_cache")
+    ap.add_argument("--train", action="store_true",
+                    help="measure TRAINING throughput instead: fused epoch "
+                    "scan s/step + achieved TFLOP/s for the flagship L12 x2 "
+                    "(and the host-fed per-step loop for contrast with "
+                    "--train_host_fed)")
+    ap.add_argument("--train_steps", type=int, default=200)
+    ap.add_argument("--train_host_fed", action="store_true",
+                    help="with --train: use the reference-style host-fed "
+                    "per-step loop instead of the fused scan")
+    ap.add_argument("--train_small", action="store_true",
+                    help="with --train: tiny L3 model (CPU smoke only; "
+                    "numbers are not the flagship benchmark)")
     args = ap.parse_args()
+
+    if args.train:
+        return bench_train(args)
 
     import jax
     import jax.numpy as jnp
@@ -112,6 +127,107 @@ def main():
         "value": round(mp_s, 3),
         "unit": "HR_megapixels/sec",
         "vs_baseline": round(mp_s / BASELINE_CPU_MP_S, 2),
+    }))
+
+
+def bench_train(args):
+    """Training throughput: S optimizer steps of the flagship L12 x2 on a
+    synthetic on-device patch store.
+
+    Fused mode (default) runs all S steps in ONE dispatch via the epoch
+    scan (the production path, cli/train.py _train_loop_scan), so the
+    measurement is device-side. TFLOP/s is derived from the reference's
+    complexity accounting (MACs/LR-pixel) x 2 FLOPs/MAC x 3 (forward +
+    backward ~ 3x forward) — an estimate that ignores optimizer/elementwise
+    FLOPs, i.e. a lower bound on achieved compute.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dcscn_tpu.config import Config
+    from dcscn_tpu.models import dcscn
+    from dcscn_tpu.train import trainer as trainer_mod
+
+    if args.jit_cache_dir:
+        from dcscn_tpu.engine import init_compilation_cache
+        init_compilation_cache(args.jit_cache_dir)
+
+    cfg = Config(dtype=args.dtype)  # flagship L12 x2, batch 20, 48px patches
+    if args.train_small:
+        cfg = cfg.replace(layers=3, filters=8, min_filters=4, nin_filters=8,
+                          nin_filters2=4, batch_image_size=16)
+    steps = args.train_steps
+    tr = trainer_mod.Trainer(cfg)
+    params = dcscn.init_params(jax.random.PRNGKey(0), cfg)
+    opt_state = tr.init_opt_state(params)
+    opt_state = tr.set_lr(opt_state, cfg.initial_lr)
+
+    rng = np.random.default_rng(0)
+    count = 4096
+    b, s = cfg.batch_image_size, cfg.scale
+    store_np = {
+        "input": rng.integers(0, 255, (count, b, b, 1), np.uint8),
+        "interp": rng.integers(0, 255, (count, b * s, b * s, 1), np.uint8),
+        "true": rng.integers(0, 255, (count, b * s, b * s, 1), np.uint8),
+    }
+    store = tr.shard_store(store_np)
+    idx = rng.integers(0, count, (steps, cfg.batch_num)).astype(np.int32)
+
+    if args.train_host_fed:
+        # reference-style loop: one jitted step per dispatch, numpy feed
+        # (train.py:80-81 / DCSCN.py:415-425)
+        step_fn = tr.train_step()
+
+        def run(p, o, n):
+            bn = None
+            for k in range(n):
+                bi = idx[k % len(idx)]
+                batch = trainer_mod.Batch(
+                    jnp.asarray(store_np["input"][bi].astype(np.float32)),
+                    jnp.asarray(store_np["interp"][bi].astype(np.float32)),
+                    jnp.asarray(store_np["true"][bi].astype(np.float32)))
+                p, o, bn, m = step_fn(p, o, bn, batch, jax.random.PRNGKey(k))
+            jax.device_get(m.loss)
+            return p, o
+
+        params, opt_state = run(params, opt_state, 3)  # warmup/compile
+        t0 = time.perf_counter()
+        params, opt_state = run(params, opt_state, steps)
+        dt = time.perf_counter() - t0
+        mode = "host_fed"
+    else:
+        scan_fn = tr.epoch_scan()
+        idx_dev = tr.shard_indices(idx)
+
+        def run(p, o):
+            p, o, _, m = scan_fn(p, o, None, store, idx_dev, jax.random.PRNGKey(1))
+            jax.device_get(m.loss)
+            return p, o
+
+        params, opt_state = run(params, opt_state)  # compile
+        params, opt_state = run(params, opt_state)  # second compile variant
+        # (donated-buffer layouts differ from fresh device_puts on call 1)
+        t0 = time.perf_counter()
+        params, opt_state = run(params, opt_state)
+        dt = time.perf_counter() - t0
+        mode = "fused_scan"
+
+    s_per_step = dt / steps
+    macs_per_px = dcscn.complexity_report(cfg)["complexity"]
+    flops = steps * cfg.batch_num * b * b * macs_per_px * 2 * 3
+    tflops = flops / dt / 1e12
+
+    model_tag = "L3small" if args.train_small else "L12"
+    print(json.dumps({
+        "metric": "dcscn_%s_x2_train_%s" % (model_tag, mode),
+        "value": round(s_per_step, 5),
+        "unit": "sec/step",
+        "vs_baseline": round(0.196 / s_per_step, 2),  # measured host-fed
+        # reference-equivalent loop on this chip (PARITY.md round 3)
+        "tflops_est": round(tflops, 2),
+        "steps": steps,
+        "batch": cfg.batch_num,
     }))
 
 
