@@ -31,6 +31,11 @@ EXTRA_FLAGS = [
     ("reference_loop", bool, False,
      "Use the reference-style per-step host-fed loop instead of the fused epoch scan."),
     ("eval_tile_size", int, 0, "tile_size used for in-training evaluation."),
+    ("scan_chunk", int, 0,
+     "Max steps per fused-scan dispatch (0 = whole epoch in one dispatch). "
+     "Oversized single dispatches can crash the TPU worker (observed at "
+     "2400 steps of 64px patches and at 4800 steps of 48px); 1200 is a "
+     "proven-safe chunk."),
 ]
 
 
@@ -59,7 +64,8 @@ def main(argv=None):
 
     total_psnr = total_ssim = 0.0
     for i in range(cfg.tests):
-        psnr, ssim = train(model, cfg, i, reference_loop=ns.reference_loop)
+        psnr, ssim = train(model, cfg, i, reference_loop=ns.reference_loop,
+                           scan_chunk=ns.scan_chunk)
         total_psnr += psnr
         total_ssim += ssim
         logging.info("\nTrial(%d) %s" % (i, logging_util.get_now_date()))
@@ -73,7 +79,8 @@ def main(argv=None):
     model.copy_log_to_archive("archive")
 
 
-def train(model: api.SuperResolution, cfg, trial: int, reference_loop: bool = False):
+def train(model: api.SuperResolution, cfg, trial: int, reference_loop: bool = False,
+          scan_chunk: int = 0):
     test_filenames = files.get_files_in_directory(cfg.data_dir + "/" + cfg.test_dataset)
     if len(test_filenames) <= 0:
         raise SystemExit("Can't load images from [%s]" % (cfg.data_dir + "/" + cfg.test_dataset))
@@ -100,7 +107,8 @@ def train(model: api.SuperResolution, cfg, trial: int, reference_loop: bool = Fa
     if reference_loop:
         psnr, ssim = _train_loop_steps(model, cfg, trial, test_filenames, steps_per_epoch)
     elif hasattr(model.train, "as_store"):
-        psnr, ssim = _train_loop_scan(model, cfg, trial, test_filenames, steps_per_epoch)
+        psnr, ssim = _train_loop_scan(model, cfg, trial, test_filenames,
+                                      steps_per_epoch, scan_chunk=scan_chunk)
     else:
         psnr, ssim = _train_loop_dynamic(model, cfg, trial, test_filenames, steps_per_epoch)
 
@@ -140,8 +148,11 @@ def _train_loop_steps(model, cfg, trial, test_filenames, steps_per_epoch):
     return psnr, ssim
 
 
-def _train_loop_scan(model, cfg, trial, test_filenames, steps_per_epoch):
-    """Fused epoch path: patch store on device, full epoch per dispatch."""
+def _train_loop_scan(model, cfg, trial, test_filenames, steps_per_epoch,
+                     scan_chunk: int = 0):
+    """Fused epoch path: patch store on device, full epoch per dispatch
+    (or `scan_chunk`-step dispatches — equivalent math, bounds the program
+    the TPU worker must hold, see the flag help)."""
     trainer = model._ensure_trainer()
     if trainer.mesh is not None:
         # commit model state to the mesh explicitly (replicated) so the
@@ -155,17 +166,23 @@ def _train_loop_scan(model, cfg, trial, test_filenames, steps_per_epoch):
     scan_fn = trainer.epoch_scan()
     psnr = ssim = 0.0
 
+    chunk = scan_chunk if scan_chunk > 0 else steps_per_epoch
     while model.lr > cfg.end_lr:
         model.opt_state = trainer.set_lr(model.opt_state, model.lr)
         idx_np = model.train.epoch_indices(steps_per_epoch, model.batch_num, rng)
-        idx = trainer.shard_indices(idx_np)
-        epoch_rng = jax.random.PRNGKey(model.step)
-        (model.params, model.opt_state, model.bn_state, m) = scan_fn(
-            model.params, model.opt_state, model.bn_state, store, idx, epoch_rng)
+        mses_parts, loss_parts = [], []
+        for k in range(0, steps_per_epoch, chunk):
+            idx = trainer.shard_indices(idx_np[k : k + chunk])
+            epoch_rng = jax.random.PRNGKey(model.step + k)
+            (model.params, model.opt_state, model.bn_state, m) = scan_fn(
+                model.params, model.opt_state, model.bn_state, store, idx,
+                epoch_rng)
+            mses_parts.append(np.asarray(m.mse))
+            loss_parts.append(np.asarray(m.image_loss))
         model._engine = None
 
-        mses = np.asarray(m.mse)
-        model.training_loss_sum = float(np.asarray(m.image_loss).sum())
+        mses = np.concatenate(mses_parts)
+        model.training_loss_sum = float(np.concatenate(loss_parts).sum())
         model.training_psnr_sum = float(
             sum(metrics.get_psnr(v, max_value=model.max_value) for v in mses))
         model.training_step = steps_per_epoch

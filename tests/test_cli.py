@@ -172,3 +172,18 @@ def test_evaluate_cli_batch_eval_requires_no_save(env, capsys):
                                 "--initialize_tf_log=False"])
     out = capsys.readouterr()
     assert "requires --save_results=False" in out.out + out.err
+
+
+def test_train_cli_scan_chunk(env):
+    """--scan_chunk splits the fused epoch into multiple dispatches with
+    identical semantics (guards the TPU-worker-crash mitigation path)."""
+    from dcscn_tpu.cli import train
+
+    train.main(TINY_FLAGS + [
+        "--dataset=tinyset", "--test_dataset=tinyset", "--build_batch=True",
+        "--batch_image_size=16", "--batch_num=2", "--training_images=8",
+        "--initial_lr=0.002", "--end_lr=0.0015", "--lr_decay_epoch=2",
+        "--scan_chunk=2", "--initialize_tf_log=False",
+    ])
+    names = os.listdir("models")
+    assert any(n.endswith(".ckpt.npz") for n in names)

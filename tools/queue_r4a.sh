@@ -11,8 +11,12 @@ cd /root/repo
 R=results/r4
 mkdir -p $R
 
+# --scan_chunk=1200: a single 2400-step dispatch of 64px patches crashed
+# the TPU worker (same failure class as the known 4800-step/48px crash,
+# results/r4/train_x3p64.out first attempt); half-epoch dispatches are the
+# proven-safe program size.
 COMMON="--dataset=combined_8 --test_dataset=set5 --build_batch=True \
-  --batch_image_size=64 --batch_dir=batch_data_bis64 \
+  --batch_image_size=64 --batch_dir=batch_data_bis64 --scan_chunk=1200 \
   --self_ensemble=1 --tile_size=0 --jit_cache_dir=/root/repo/.jax_cache \
   --initialize_tf_log=False --training_images=48000 --initial_lr=0.00025"
 EVAL="--save_results=False --self_ensemble=8 --tile_size=48 \
