@@ -43,6 +43,11 @@ _GROUP_CHUNK = 64  # windows per lax.map chunk in run_many's group dispatch
 # each incl. output, so 4096 windows stay near ~1 GB on a 16 GB chip)
 _MAX_GROUP_WINDOWS = 4096
 
+# max images with un-materialized results in run_many's pipeline strategy:
+# enough lookahead to hide per-dispatch relay latency, while bounding the
+# device buffers (inputs + window batches + outputs) held per image
+_MAX_INFLIGHT = 16
+
 # dihedral member j in 4..7 of image x equals flip _T_MEMBER[j] of x^T
 # (verified: fwd4=flipud(T), fwd5=fliplr(T), fwd6=T, fwd7=flipud(fliplr(T))),
 # and summing inv_j(f(fwd_j(x))) over j in 4..e-1 equals the TRANSPOSE of the
@@ -422,9 +427,19 @@ class InferenceEngine:
             strategy = "pipeline"
         if (strategy != "group" or cfg.tile_size <= 0 or self.n_spatial > 1
                 or len(xs) < 2):
-            pending = [self._run_deferred(x, x2, self_ensemble=ensemble)
-                       for x, x2 in zip(xs, x2s)]
-            return [p() for p in pending]
+            # sliding window of in-flight images: deep enough to hide the
+            # per-dispatch relay latency, bounded so device buffers for
+            # pending images never grow with dataset size
+            from collections import deque
+
+            pending: deque = deque()
+            out: List[np.ndarray] = []
+            for x, x2 in zip(xs, x2s):
+                pending.append(self._run_deferred(x, x2, self_ensemble=ensemble))
+                if len(pending) > _MAX_INFLIGHT:
+                    out.append(pending.popleft()())
+            out.extend(p() for p in pending)
+            return out
 
         # group images by exact tile layout (window + owned-block sizes)
         groups: Dict[Tuple, List[int]] = {}

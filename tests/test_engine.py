@@ -315,3 +315,21 @@ def test_run_many_max_value_rescale(strategy):
     batched = eng.run_many(xs, x2s, strategy=strategy)
     for x, x2, out in zip(xs, x2s, batched):
         np.testing.assert_allclose(out, eng.run(x, x2), rtol=1e-4, atol=1e-3)
+
+
+def test_run_many_pipeline_inflight_cap(monkeypatch):
+    """Pipeline strategy bounds un-materialized images (_MAX_INFLIGHT) so
+    device memory doesn't grow with dataset size; results stay in order
+    and bit-identical."""
+    from dcscn_tpu import engine as engine_mod
+
+    cfg = CFG.replace(scale=2, tile_size=16, self_ensemble=1)
+    eng = _make_engine(cfg, seed=27)
+    rng = np.random.default_rng(28)
+    xs = [rng.uniform(0, 255, (30 + i % 3, 41, 1)).astype(np.float32)
+          for i in range(6)]
+    x2s = [resize_ops.resize_image(x, 2) for x in xs]
+    monkeypatch.setattr(engine_mod, "_MAX_INFLIGHT", 2)
+    batched = eng.run_many(xs, x2s)
+    for x, x2, o in zip(xs, x2s, batched):
+        assert float(np.abs(o - eng.run(x, x2)).max()) == 0.0
