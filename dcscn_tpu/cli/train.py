@@ -76,6 +76,8 @@ def main(argv=None):
         logging.info("\n=== Final Average [%s] PSNR:%f, SSIM:%f ===" % (
             cfg.test_dataset, total_psnr / cfg.tests, total_ssim / cfg.tests))
 
+    if model._summary is not None:
+        model._summary.close()  # force event files to disk
     model.copy_log_to_archive("archive")
 
 

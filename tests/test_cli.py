@@ -187,3 +187,26 @@ def test_train_cli_scan_chunk(env):
     ])
     names = os.listdir("models")
     assert any(n.endswith(".ckpt.npz") for n in names)
+
+
+def test_train_cli_scan_with_weight_summaries(env):
+    """Fused-scan loop with --save_weights: the per-epoch gradient/tensor
+    summary probe runs against the gathered first-step minibatch."""
+    from dcscn_tpu.cli import train
+
+    flags = [f for f in TINY_FLAGS
+             if not f.startswith(("--save_weights", "--enable_log"))]
+    train.main(flags + [
+        "--save_weights=True", "--enable_log=True",
+        "--dataset=tinyset", "--test_dataset=tinyset", "--build_batch=True",
+        "--batch_image_size=16", "--batch_num=2", "--training_images=4",
+        "--initial_lr=0.002", "--end_lr=0.0015", "--lr_decay_epoch=2",
+        "--initialize_tf_log=False",
+    ])
+    # gradient + X/Y_ tags reached the train event stream
+    train_dir = os.path.join("tf_log", "train")
+    blobs = b""
+    for fname in os.listdir(train_dir):
+        with open(os.path.join(train_dir, fname), "rb") as f:
+            blobs += f.read()
+    assert b"gradients" in blobs and b"Y_/output" in blobs
