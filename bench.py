@@ -43,7 +43,13 @@ def main():
                     "scan s/step + achieved TFLOP/s for the flagship L12 x2 "
                     "(and the host-fed per-step loop for contrast with "
                     "--train_host_fed)")
-    ap.add_argument("--train_steps", type=int, default=200)
+    def positive_int(v):
+        n = int(v)
+        if n < 1:
+            raise argparse.ArgumentTypeError("must be >= 1")
+        return n
+
+    ap.add_argument("--train_steps", type=positive_int, default=200)
     ap.add_argument("--train_host_fed", action="store_true",
                     help="with --train: use the reference-style host-fed "
                     "per-step loop instead of the fused scan")

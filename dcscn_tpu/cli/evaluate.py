@@ -30,6 +30,9 @@ EXTRA_FLAGS = [
 
 def evaluate_bicubic(model: api.SuperResolution, cfg, test_data: str):
     test_filenames = files.get_files_in_directory(cfg.data_dir + "/" + test_data)
+    if not test_filenames:
+        logging.warning("no evaluable images in [%s]" % test_data)
+        return
     total_psnr = total_ssim = 0.0
     for filename in test_filenames:
         psnr, ssim = model.evaluate_bicubic(filename, print_console=False)

@@ -141,7 +141,8 @@ def _train_loop_steps(model, cfg, trial, test_filenames, steps_per_epoch):
             sample = Batch(
                 jnp.asarray(np.stack(model.batch_input), jnp.float32),
                 jnp.asarray(np.stack(model.batch_input_bicubic), jnp.float32),
-                jnp.asarray(np.stack(model.batch_true), jnp.float32))
+                jnp.asarray(np.stack(model.batch_true), jnp.float32),
+            ) if cfg.save_weights else None
             model.log_to_tensorboard(test_filenames[0], psnr, sample_batch=sample)
             model.save_model(trial=trial)
             model.save_train_state(trial=trial)
@@ -169,6 +170,11 @@ def _train_loop_scan(model, cfg, trial, test_filenames, steps_per_epoch,
     psnr = ssim = 0.0
 
     chunk = scan_chunk if scan_chunk > 0 else steps_per_epoch
+    if steps_per_epoch % chunk:
+        logging.warning(
+            "scan_chunk=%d does not divide steps_per_epoch=%d: the %d-step "
+            "tail is a second program shape (one extra TPU compile)"
+            % (chunk, steps_per_epoch, steps_per_epoch % chunk))
     while model.lr > cfg.end_lr:
         model.opt_state = trainer.set_lr(model.opt_state, model.lr)
         idx_np = model.train.epoch_indices(steps_per_epoch, model.batch_num, rng)

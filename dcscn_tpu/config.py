@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import math
+import os
 from typing import List, Optional, Sequence, Tuple
 
 
@@ -364,7 +365,16 @@ def resolve_backend_defaults(cfg: "Config"):
         cfg = cfg.replace(tile_size=tile)
     jc = cfg.jit_cache_dir
     if jc == "auto":
-        jc = ".jax_cache" if backend != "cpu" else ""
+        if backend != "cpu":
+            # Absolute, cwd-independent: a checkout's warm cache if we're
+            # inside one, else a stable per-user cache dir — a relative
+            # ".jax_cache" would silently start a fresh (2-10 min/shape)
+            # cache for every launch directory.
+            local = os.path.abspath(".jax_cache")
+            jc = local if os.path.isdir(local) else os.path.join(
+                os.path.expanduser("~"), ".cache", "dcscn_tpu", "jax_cache")
+        else:
+            jc = ""
         if jc:
             notes.append("jit_cache_dir=auto resolved to %s (backend: %s)"
                          % (jc, backend))
@@ -451,5 +461,9 @@ def parse_args(
     cfg_fields = {f.name for f in dataclasses.fields(Config)}
     cfg = Config(**{k: v for k, v in vars(ns).items() if k in cfg_fields})
     apply_platform(cfg)
-    cfg, _notes = resolve_backend_defaults(cfg)  # idempotent; api re-logs
+    # Backend-sensitive sentinels (tile_size=-1, jit_cache_dir=auto) are
+    # NOT resolved here: resolving needs jax.default_backend(), which would
+    # attach every CLI — including host-only tools like augmentation.py —
+    # to the TPU at flag-parse time. SuperResolution.__init__ resolves (and
+    # logs the choices) for every flow that actually runs the model.
     return cfg, ns

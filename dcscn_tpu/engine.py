@@ -57,6 +57,19 @@ _MAX_INFLIGHT = 16
 _T_MEMBER = {4: 1, 5: 2, 6: 0, 7: 3}
 
 
+def _transposed_members(ensemble: int) -> Tuple[int, ...]:
+    """Flip subset to run on x^T covering dihedral members 4..ensemble-1."""
+    return tuple(sorted(_T_MEMBER[j] for j in range(4, ensemble)))
+
+
+def _combine_transposed_sum(out_a: np.ndarray, out_b: np.ndarray,
+                            ensemble: int) -> np.ndarray:
+    """Ensemble mean from the two member-sum passes of the dihedral
+    identity: `out_a` = members 0-3 summed on x, `out_b` = the
+    `_transposed_members` flip subset summed on x^T (HWC)."""
+    return (out_a + np.transpose(out_b, (1, 0, 2))) / float(ensemble)
+
+
 def _bucket(n: int) -> int:
     """Round a tile count up to a small set of buckets (1,2,4,8,16,24,32,...)
     so compiled program count stays tiny across image sizes."""
@@ -486,10 +499,10 @@ class InferenceEngine:
             xts = [np.ascontiguousarray(np.transpose(x, (1, 0, 2))) for x in xs]
             x2ts = [np.ascontiguousarray(np.transpose(x2, (1, 0, 2))) for x2 in x2s]
             layouts_t = [self._tile_layout(x.shape[0], x.shape[1]) for x in xts]
-            members_b = tuple(sorted(_T_MEMBER[j] for j in range(4, ensemble)))
-            fin_b = self._group_dispatch(xts, x2ts, layouts_t, members=members_b)
+            fin_b = self._group_dispatch(xts, x2ts, layouts_t,
+                                         members=_transposed_members(ensemble))
             outs_a, outs_b = fin_a(), fin_b()
-            return [(a + np.transpose(b, (1, 0, 2))) / float(ensemble)
+            return [_combine_transposed_sum(a, b, ensemble)
                     for a, b in zip(outs_a, outs_b)]
         return self._group_dispatch(xs, x2s, layouts, ensemble=ensemble)()
 
@@ -670,7 +683,7 @@ class InferenceEngine:
                     fin_a = self._dispatch_deferred(
                         fn_a, jnp.asarray(x, jnp.float32),
                         jnp.asarray(x2, jnp.float32), params=params)
-                    mb = tuple(sorted(_T_MEMBER[j] for j in range(4, ensemble)))
+                    mb = _transposed_members(ensemble)
                     mesh_t, params_t = self._spatial_mesh(n_t)
                     fn_b = self._get_fn(
                         ("spatial_ens", n_t, w, h, ("m",) + mb),
@@ -683,8 +696,7 @@ class InferenceEngine:
                     fin_b = self._dispatch_deferred(
                         fn_b, jnp.asarray(xt, jnp.float32),
                         jnp.asarray(x2t, jnp.float32), params=params_t)
-                    acc = fin_a() + np.transpose(fin_b(), (1, 0, 2))
-                    return acc / float(ensemble)
+                    return _combine_transposed_sum(fin_a(), fin_b(), ensemble)
             acc = None
             for i in range(ensemble):
                 xi = np.ascontiguousarray(flips.flip(x, i))
@@ -777,12 +789,11 @@ class InferenceEngine:
             fin_a = self._tiled_dispatch(x, x2, members=(0, 1, 2, 3))
             xt = np.ascontiguousarray(np.transpose(x, (1, 0, 2)))
             x2t = np.ascontiguousarray(np.transpose(x2, (1, 0, 2)))
-            members_b = tuple(sorted(_T_MEMBER[j] for j in range(4, ensemble)))
-            fin_b = self._tiled_dispatch(xt, x2t, members=members_b)
+            fin_b = self._tiled_dispatch(xt, x2t,
+                                         members=_transposed_members(ensemble))
 
             def finish():
-                acc = fin_a() + np.transpose(fin_b(), (1, 0, 2))
-                return acc / float(ensemble)
+                return _combine_transposed_sum(fin_a(), fin_b(), ensemble)
 
             return finish
 

@@ -1,5 +1,7 @@
 """Config derivation + model-name identity tests (DCSCN.py:108-144)."""
 
+import os
+
 from dcscn_tpu.config import Config, parse_args
 
 
@@ -67,6 +69,15 @@ def test_cli_parse_roundtrip():
     assert cfg.dropout_rate == 1.0
 
 
+def test_parse_args_defers_backend_resolution():
+    """parse_args must NOT resolve backend-sensitive sentinels: resolving
+    needs jax.default_backend(), which would attach host-only CLIs
+    (augmentation.py, convert_y.py) to the TPU at flag-parse time.
+    SuperResolution.__init__ resolves for flows that run the model."""
+    cfg, _ = parse_args([])
+    assert cfg.tile_size == -1 and cfg.jit_cache_dir == "auto"
+
+
 def test_cli_extra_flags():
     cfg, ns = parse_args(["--file=x.png"], extra_flags=[("file", str, "image.jpg", "target")])
     assert ns.file == "x.png"
@@ -85,10 +96,13 @@ def test_backend_defaults_resolution(monkeypatch):
     cfg, notes = resolve_backend_defaults(Config())
     assert cfg.tile_size == 0 and cfg.jit_cache_dir == ""
 
-    # simulated TPU backend
+    # simulated TPU backend; the auto cache dir must be ABSOLUTE (a
+    # relative path would start a fresh cache per launch directory)
     monkeypatch.setattr(jax, "default_backend", lambda: "axon")
     cfg, notes = resolve_backend_defaults(Config())
-    assert cfg.tile_size == 48 and cfg.jit_cache_dir == ".jax_cache"
+    assert cfg.tile_size == 48
+    assert os.path.isabs(cfg.jit_cache_dir)
+    assert cfg.jit_cache_dir.endswith((".jax_cache", "jax_cache"))
     assert any("tile_size" in n for n in notes)
 
     # explicit values are never overridden; 'off' disables the cache

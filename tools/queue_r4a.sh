@@ -10,6 +10,8 @@ set -u
 cd /root/repo
 R=results/r4
 mkdir -p $R
+# register for the chip-serialization handshake (queue_r4c.sh waits on this)
+echo $$ > /tmp/queue_r4a.pid
 
 # --scan_chunk=1200: a single 2400-step dispatch of 64px patches crashed
 # the TPU worker (same failure class as the known 4800-step/48px crash,

@@ -8,11 +8,17 @@ set -u
 cd /root/repo
 R=results/r4
 mkdir -p $R
+echo $$ > /tmp/queue_r4c.pid
 
 # wait for the r4a queue to release the chip
 if [ -f /tmp/queue_r4a.pid ]; then
   while kill -0 "$(cat /tmp/queue_r4a.pid)" 2>/dev/null; do sleep 30; done
 fi
+
+echo "[r4c] build x3 soup" >&2
+python tools/soup_ckpt.py \
+  --srcs=dcscn_L12_F196to48_Sc3_NIN_A64_PS_R1F32,dcscn_L12_F196to48_Sc3_NIN_A64_PS_R1F32_r4p64 \
+  --dst=dcscn_L12_F196to48_Sc3_NIN_A64_PS_R1F32_r4soup
 
 EVAL="--test_dataset=all --save_results=False --self_ensemble=8 \
   --tile_size=48 --jit_cache_dir=/root/repo/.jax_cache \
