@@ -8,6 +8,8 @@ set -u
 cd /root/repo
 R=results/r4
 mkdir -p $R
+# register for the chip-serialization handshake (queue_r4d.sh waits on this)
+echo $$ > /tmp/queue_r4b.pid
 
 EVAL="--test_dataset=all --save_results=False --self_ensemble=8 \
   --tile_size=48 --jit_cache_dir=/root/repo/.jax_cache \
