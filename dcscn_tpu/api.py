@@ -46,25 +46,14 @@ class SuperResolution:
         cfg, backend_notes = config_mod.resolve_backend_defaults(cfg)
         self.cfg = cfg
         self.name = cfg.name()
-        self.scale = cfg.scale
-        self.max_value = cfg.max_value
-        self.channels = cfg.channels
-        self.output_channels = cfg.output_channels
-        self.self_ensemble = cfg.self_ensemble
-        self.psnr_calc_border_size = cfg.effective_psnr_border
-        self.batch_num = cfg.batch_num
-        self.batch_image_size = cfg.batch_image_size
-        self.stride_size = cfg.effective_stride_size
-        self.training_images = cfg.effective_training_images
-        self.total_epochs = cfg.total_epochs
         self.resampling_method = "bicubic"
-        self.compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        self._engine: Optional[InferenceEngine] = None
+        self._refresh_derived()  # single source for the cfg-derived attrs
 
         # model state
         self.params = None
         self.bn_state = None
         self.opt_state = None
-        self._engine: Optional[InferenceEngine] = None
         self.train = None
         self.test = None
 
@@ -163,7 +152,9 @@ class SuperResolution:
         if os.path.isfile(native):
             tree = ckpt_io.load_params(native)
             self.params = tree.get("params", tree)
-            self.bn_state = tree.get("bn_state") if "bn_state" in tree else self.bn_state
+            # absent key means the checkpoint has no BN running stats —
+            # never carry a PREVIOUS model's stats forward silently
+            self.bn_state = tree.get("bn_state")
             meta = ckpt_io.load_meta(native)
             if meta and "config" in meta:
                 # adopt structural fields the model name doesn't encode
@@ -220,6 +211,11 @@ class SuperResolution:
             frozenInference=True, frozen_graph_path=self.cfg.frozen_graph_path,
             tile_size=self.cfg.tile_size, jit_cache_dir=self.cfg.jit_cache_dir,
             enable_log=self.cfg.enable_log, initialize_tf_log=False,
+            # inference-protocol knobs follow THIS session's flags, not the
+            # artifact's training-time values (parity with the non-frozen
+            # path under identical CLI flags)
+            self_ensemble=self.cfg.self_ensemble, max_value=self.cfg.max_value,
+            mesh_spatial=self.cfg.mesh_spatial,
         )
         self.params, self.bn_state, cfg = export.load_exported(
             frozen_graph_path or self.cfg.frozen_graph_path, self.cfg
@@ -235,12 +231,14 @@ class SuperResolution:
         self._refresh_derived()
 
     def _refresh_derived(self):
-        """Re-sync cached attributes after self.cfg changes."""
+        """(Re-)sync cached attributes from self.cfg — the single list,
+        used by __init__ and after every cfg change."""
         cfg = self.cfg  # self.name stays as derived at construction time,
         # matching the reference's use of the CLI-config name for output dirs
         self.scale = cfg.scale
         self.max_value = cfg.max_value
         self.channels = cfg.channels
+        self.output_channels = cfg.output_channels
         self.self_ensemble = cfg.self_ensemble
         self.psnr_calc_border_size = cfg.effective_psnr_border
         self.batch_num = cfg.batch_num
@@ -406,15 +404,20 @@ class SuperResolution:
         return psnr, ssim
 
     def evaluate(self, test_filenames) -> Tuple[float, float]:
-        """Mean PSNR/SSIM over files (reference: DCSCN.py:534-545)."""
+        """Mean PSNR/SSIM over files (reference: DCSCN.py:534-545).
+
+        Rides the pipelined batch path (outputs bit-identical to the
+        per-image loop, dispatch latency overlapped — this runs every
+        training epoch); unreadable/unsupported images are skipped like
+        do_for_evaluate_batch documents."""
         if len(test_filenames) == 0:
             return 0, 0
-        total_psnr = total_ssim = 0.0
-        for filename in test_filenames:
-            psnr, ssim = self.do_for_evaluate(filename, print_console=False)
-            total_psnr += psnr
-            total_ssim += ssim
-        return total_psnr / len(test_filenames), total_ssim / len(test_filenames)
+        pairs = [p for p in self.do_for_evaluate_batch(test_filenames)
+                 if p[0] is not None]
+        if not pairs:
+            return 0, 0
+        return (sum(p for p, _ in pairs) / len(pairs),
+                sum(s for _, s in pairs) / len(pairs))
 
     def evaluate_bicubic(self, file_path: str, print_console: bool = False):
         """No-model bicubic control (reference: DCSCN.py:705-725)."""
@@ -444,9 +447,7 @@ class SuperResolution:
             store_format=self.cfg.batch_format,
         )
         if not self.train.is_batch_exist():
-            self.train.build_batch(data_dir)
-            if self.train.input_images is None or self.train.count == 0:
-                self.train.load_all_batch_images()
+            self.train.build_batch(data_dir)  # leaves the store in memory
         else:
             self.train.load_batch_counts()
             self.train.load_all_batch_images()
@@ -522,6 +523,12 @@ class SuperResolution:
         if not self.cfg.use_l1_loss and self.training_step != 0:
             self._summary.scalar("train", "PSNR",
                                  self.training_psnr_sum / self.training_step,
+                                 self.epochs_completed)
+        if self.training_step != 0:
+            # mean image loss (MSE, or L1 under --use_l1_loss — without this
+            # an L1 run would log no training-quality scalar at all)
+            self._summary.scalar("train", "loss",
+                                 self.training_loss_sum / self.training_step,
                                  self.epochs_completed)
         self._summary.scalar("train", "LR", self.lr, self.epochs_completed)
         self._summary.scalar("test", "PSNR", psnr, self.epochs_completed)
@@ -666,9 +673,11 @@ class SuperResolution:
         base = self._ckpt_base("", trial) + ".train.npz"
         if not os.path.isfile(base):
             return False
-        trainer = self._ensure_trainer()
-        template = trainer.init_opt_state(self.params)
-        params, opt_state, bn_state, meta = ckpt_io.load_train_state(base, template)
+        self._ensure_trainer()
+        # _ensure_trainer just initialized self.opt_state — reuse it as the
+        # restore template instead of materializing a second full state
+        params, opt_state, bn_state, meta = ckpt_io.load_train_state(
+            base, self.opt_state)
         self.params, self.opt_state = params, opt_state
         self.bn_state = bn_state
         self.step = int(meta.get("step", 0))

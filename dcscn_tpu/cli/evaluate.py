@@ -66,6 +66,7 @@ def evaluate_model(model: api.SuperResolution, cfg, test_data: str, save_results
     if not test_filenames:
         logging.warning("no evaluable images in [%s]" % test_data)
         return 0.0, 0.0
+    n = 0
     for filename in test_filenames:
         start = time.time()
         if save_results:
@@ -74,9 +75,14 @@ def evaluate_model(model: api.SuperResolution, cfg, test_data: str, save_results
         else:
             psnr, ssim = model.do_for_evaluate(filename, print_console=False)
         total_time += time.time() - start
+        if psnr is None:  # unreadable/unsupported image — skip, like batch mode
+            continue
         total_psnr += psnr
         total_ssim += ssim
-    n = len(test_filenames)
+        n += 1
+    if n == 0:
+        logging.warning("no evaluable images in [%s]" % test_data)
+        return 0.0, 0.0
     logging.info("Model Average [%s] PSNR:%f, SSIM:%f, Time (s): %f" % (
         test_data, total_psnr / n, total_ssim / n, total_time / n))
     return total_psnr / n, total_ssim / n

@@ -266,13 +266,20 @@ def evaluate_model(model: api.SuperResolution, cfg, test_data: str):
         logging.warning("benchmark dataset [%s] is empty; skipping", test_data)
         return
     total_psnr = total_ssim = 0.0
+    n = 0
     for filename in test_filenames:
         psnr, ssim = model.do_for_evaluate_with_output(
             filename, output_directory=cfg.output_dir, print_console=False)
+        if psnr is None:  # unreadable/unsupported image — skip
+            continue
         total_psnr += psnr
         total_ssim += ssim
+        n += 1
+    if n == 0:
+        logging.warning("benchmark dataset [%s] has no evaluable images", test_data)
+        return
     logging.info("Model Average [%s] PSNR:%f, SSIM:%f" % (
-        test_data, total_psnr / len(test_filenames), total_ssim / len(test_filenames)))
+        test_data, total_psnr / n, total_ssim / n))
 
 
 if __name__ == "__main__":

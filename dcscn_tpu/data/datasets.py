@@ -320,7 +320,15 @@ class DynamicDataset:
 
     def load_batch_image(self, max_value: float):
         image = None
+        attempts = 0
         while image is None:
+            attempts += 1
+            if attempts > 4 * len(self.filenames) + 16:
+                raise RuntimeError(
+                    "no training image is at least %dx%d (batch_image_size"
+                    "*scale) — cannot sample crops"
+                    % (self.batch_image_size * self.scale,
+                       self.batch_image_size * self.scale))
             image = self.load_random_patch(self.filenames[self.get_next_image_no()])
         if random.randrange(2) == 0:
             image = np.fliplr(image)

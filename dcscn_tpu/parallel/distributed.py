@@ -31,7 +31,7 @@ def initialize(coordinator_address: Optional[str] = None,
     # multi-host detected: a failed init must raise — silently degrading to
     # independent single-host runs would train divergent models
     jax.distributed.initialize(
-        coordinator_address=coordinator_address,
+        coordinator_address=explicit,
         num_processes=num_processes,
         process_id=process_id,
     )

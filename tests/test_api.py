@@ -100,6 +100,17 @@ def test_export_and_frozen_inference(env):
     out2 = m2.do(np.full((8, 8, 1), 77.0, np.float32))
     np.testing.assert_allclose(out1, out2, atol=1e-6)
 
+    # inference-protocol knobs follow the SESSION's flags, not the
+    # artifact's training-time values: --self_ensemble=8 against an
+    # artifact exported with self_ensemble=1 must run the x8 ensemble
+    m3 = api.SuperResolution(Config(**{**TINY, "self_ensemble": 8}))
+    m3.load_graph("model_to_freeze/frozen.npz")
+    assert m3.cfg.self_ensemble == 8 and m3.self_ensemble == 8
+    x = np.arange(64, dtype=np.float32).reshape(8, 8, 1)
+    out3 = m3.do(x)
+    ref = m.engine.run(x, None, self_ensemble=8)
+    np.testing.assert_allclose(out3, ref, atol=1e-5)
+
 
 def test_export_folds_batch_norm(env):
     import jax

@@ -94,6 +94,15 @@ def test_dynamic_dataset_sample(image_dir):
     assert y.shape == (32, 32, 1)
 
 
+def test_dynamic_dataset_all_images_too_small(image_dir):
+    """The reference-loop sampler must raise (not spin forever) when no
+    training image can fit a batch_image_size*scale crop."""
+    ds = datasets.DynamicDataset(4, 512, batch_num=2)  # needs 2048px images
+    ds.set_data_dir(image_dir)
+    with pytest.raises(RuntimeError, match="cannot sample"):
+        ds.load_batch_image(255.0)
+
+
 def test_dynamic_dataset_prefetch(image_dir):
     ds = datasets.DynamicDataset(2, 16, batch_num=3, prefetch_threads=2)
     ds.set_data_dir(image_dir)

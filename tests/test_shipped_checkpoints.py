@@ -25,7 +25,7 @@ _CKPT_FLOORS = {
     "dcscn_L2_F4to4_Sc4_PS_R1F4": 30.97,                      # meas 31.219
     # flagship L12 models trained in-framework: floors gate checkpoint
     # promotion — a half-trained overwrite of a canonical name must fail CI
-    "dcscn_L12_F196to48_NIN_A64_PS_R1F32": 38.57,             # meas 38.820
+    "dcscn_L12_F196to48_NIN_A64_PS_R1F32": 38.58,             # meas 38.828 (r4 p64)
     "dcscn_L12_F196to48_Sc3_NIN_A64_PS_R1F32": 35.25,         # meas 35.496 (r4 soup)
     "dcscn_L12_F196to48_Sc4_NIN_A64_PS_R1F32": 33.32,         # meas 33.574 (r4 soup)
 }
