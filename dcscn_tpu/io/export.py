@@ -51,6 +51,13 @@ def fold_batch_norm(params: Dict[str, Any], bn_state: Optional[Dict[str, Any]],
 def export_model(path: str, params: Dict[str, Any], cfg: Config,
                  bn_state: Optional[Dict[str, Any]] = None) -> None:
     cfg_dict = dataclasses.asdict(cfg)
+    if cfg.batch_norm and not bn_state:
+        # fail HERE, not per-request at inference time against an
+        # artifact that can never run (apply() requires running stats)
+        raise ValueError(
+            "cfg.batch_norm=True but no bn_state was provided — cannot "
+            "export a runnable artifact (the checkpoint has no BN running "
+            "stats to fold)")
     if bn_state:
         params = fold_batch_norm(params, bn_state, cfg)
         cfg_dict["batch_norm"] = False  # folded away

@@ -49,7 +49,12 @@ def convert_rgb_to_y(image: np.ndarray) -> np.ndarray:
 
 
 def convert_rgb_to_ycbcr(image: np.ndarray) -> np.ndarray:
-    """RGB -> YCbCr (reference: helper/utilty.py:152-165)."""
+    """RGB -> YCbCr (reference: helper/utilty.py:152-165).
+
+    The `ndim < 2` guard (vs convert_rgb_to_y's `<= 2`) reproduces the
+    reference's own asymmetry (utilty.py:153): a bare 2-D array raises
+    here, passes through there. Kept for behavioral parity; in-repo
+    callers always pass [H, W, C]."""
     if image.ndim < 2 or image.shape[2] == 1:
         return image
     out = image[..., :3].astype(np.float64) @ RGB_TO_YCBCR.T

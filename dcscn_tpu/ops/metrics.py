@@ -190,6 +190,12 @@ def ssim_jnp(image1, image2, data_range: float = 255.0, sigma: float = 1.5, trun
 
     w = jnp.asarray(_gaussian_window_1d(sigma, truncate), dtype=jnp.float32)
     radius = (w.shape[0] - 1) // 2
+    if image1.shape[0] <= 2 * radius or image1.shape[1] <= 2 * radius:
+        # the interior slice below would be empty -> silent NaN; fail like
+        # the host-side _ssim_2d does for the same input
+        raise ValueError(
+            "ssim_jnp needs images larger than %dx%d, got %s"
+            % (2 * radius, 2 * radius, tuple(image1.shape)))
 
     def filt(a):
         # 'nearest' edge padding to match scipy, then separable conv

@@ -34,13 +34,25 @@ class SRService:
     """Thread-safe SR on decoded uint8 images."""
 
     def __init__(self, params, cfg: Config, bn_state=None):
+        import jax.numpy as jnp
+
         self.cfg = cfg
-        self.engine = InferenceEngine(params, cfg, bn_state=bn_state)
+        # honor --dtype like api.SuperResolution does for its own engine
+        cdt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        self.engine = InferenceEngine(params, cfg, bn_state=bn_state,
+                                      compute_dtype=cdt)
         self._lock = threading.Lock()
 
     def upscale(self, image: np.ndarray) -> np.ndarray:
-        """uint8 [H, W, 1|3] -> uint8 [H*s, W*s, same-ch]."""
+        """[H, W, 1|3] -> uint8 [H*s, W*s, same-ch]. Non-8-bit inputs
+        (16-bit PNG, float TIFF) are normalized to the model's 0-255
+        range instead of being fed raw and clipped to garbage."""
         scale = self.cfg.scale
+        if image.dtype == np.uint16:
+            image = (image.astype(np.float32) / 257.0)  # 65535 -> 255
+        elif image.dtype.kind == "f":
+            m = float(image.max()) if image.size else 0.0
+            image = image.astype(np.float32) * (255.0 if m <= 1.0 else 1.0)
         if image.ndim == 2:
             image = image[:, :, None]
         if image.shape[2] >= 4:

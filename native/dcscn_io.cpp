@@ -123,9 +123,15 @@ static int decode_bmp_gray8(const uint8_t* buf, int64_t len, uint8_t* out,
   *out_w = w; *out_h = h;
   if (out == nullptr) return 0;  // size query
   if (w * h > out_capacity) return -3;
+  // bounds: a truncated/corrupt file must fail cleanly, not read OOB
   if (bpp == 8) {
     const int64_t row = (w + 3) & ~3LL;
+    if ((int64_t)data_off < 54 + 256 * 4 ||
+        (int64_t)data_off + row * h > len) return -5;
     // palette may remap; apply palette's blue channel (gray palettes: b==g==r)
+    // (palette location: our own encoder writes a 40-byte info header, so
+    // the palette sits at byte 54; reject other header sizes)
+    if (get_u32(buf + 14) != 40) return -6;
     const uint8_t* pal = buf + 54;
     for (int64_t r = 0; r < h; ++r) {
       const uint8_t* src = buf + data_off + (h - 1 - r) * row;
@@ -136,6 +142,8 @@ static int decode_bmp_gray8(const uint8_t* buf, int64_t len, uint8_t* out,
   }
   if (bpp == 24) {
     const int64_t row = (w * 3 + 3) & ~3LL;
+    if ((int64_t)data_off < 54 || (int64_t)data_off + row * h > len)
+      return -5;
     for (int64_t r = 0; r < h; ++r) {
       const uint8_t* src = buf + data_off + (h - 1 - r) * row;
       uint8_t* dst = out + r * w;

@@ -139,6 +139,21 @@ def test_export_folds_batch_norm(env):
     np.testing.assert_allclose(np.asarray(y_bn), np.asarray(y_folded), rtol=1e-4, atol=1e-3)
 
 
+def test_export_batch_norm_without_stats_raises(env):
+    """Exporting a batch_norm config with no bn_state must fail at export
+    time, not per-request at inference against a dead artifact."""
+    import jax
+    import pytest
+
+    from dcscn_tpu.io import export
+    from dcscn_tpu.models import dcscn
+
+    cfg = Config(**{**TINY, "batch_norm": True})
+    params = dcscn.init_params(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(ValueError, match="bn_state"):
+        export.export_model("model_to_freeze/bad.npz", params, cfg, None)
+
+
 def test_frozen_inference_cross_scale(env):
     """An x3 artifact must evaluate correctly from an x2-default CLI config
     (the artifact's config wins for model fields)."""

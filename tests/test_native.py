@@ -55,6 +55,19 @@ def test_bmp_cross_compat_with_pil(tmp_path):
     np.testing.assert_array_equal(via_native, img)
 
 
+def test_bmp_truncated_file_fails_cleanly(tmp_path):
+    """A truncated BMP (interrupted write) must be rejected by the bounds
+    check, not read out of the buffer."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (48, 48), dtype=np.uint8)
+    p = str(tmp_path / "t.bmp")
+    assert native.write_bmp(p, img)
+    data = open(p, "rb").read()
+    # keep the full header + palette but cut the pixel data short
+    open(p, "wb").write(data[: 54 + 256 * 4 + 100])
+    assert native.read_bmp(p) is None
+
+
 def test_bmp_batch_roundtrip(tmp_path):
     rng = np.random.default_rng(4)
     batch = rng.integers(0, 255, (32, 16, 16, 1), dtype=np.uint8)

@@ -37,6 +37,17 @@ def test_upscale_rgb(service):
     assert out.shape == (32, 32, 3)
 
 
+def test_upscale_16bit_input_normalized(service):
+    """16-bit inputs are normalized to the model's 0-255 range — the
+    output must match the same image posted as 8-bit, not saturate."""
+    rng = np.random.default_rng(2)
+    img8 = rng.integers(0, 255, (16, 20, 1), np.uint8)
+    img16 = (img8.astype(np.uint16) * 257)
+    out8 = service.upscale(img8)
+    out16 = service.upscale(img16)
+    np.testing.assert_allclose(out16.astype(int), out8.astype(int), atol=1)
+
+
 def test_http_round_trip(service):
     from http.server import ThreadingHTTPServer
 
