@@ -44,7 +44,21 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = value
-    return tree
+    return _rebuild_sequences(tree)
+
+
+def _rebuild_sequences(node: Any) -> Any:
+    """Invert _flatten's '#%d' list encoding: a dict whose keys are all
+    '#<int>' round-trips back to a list (previously it silently loaded as
+    a dict with literal '#0' keys — a structurally different tree)."""
+    if not isinstance(node, dict) or not node:
+        return node
+    node = {k: _rebuild_sequences(v) for k, v in node.items()}
+    if all(k.startswith("#") and k[1:].isdigit() for k in node):
+        idx = sorted(int(k[1:]) for k in node)
+        if idx == list(range(len(idx))):  # dense 0..n-1 (None leaves are
+            return [node["#%d" % i] for i in idx]  # dropped by _flatten)
+    return node
 
 
 def checkpoint_path(checkpoint_dir: str, name: str, trial: int = 0) -> str:
@@ -111,7 +125,6 @@ def save_train_state(
             "bn_state": jax.device_get(bn_state) if bn_state is not None else None,
         }
     )
-    _atomic_savez(path, flat)
     meta = {
         "step": step,
         "epochs_completed": epochs_completed,
@@ -120,6 +133,13 @@ def save_train_state(
     }
     if extra:
         meta.update(extra)
+    # meta rides INSIDE the npz so (state, meta) replace atomically — a
+    # crash between two separate file replaces would otherwise pair new
+    # params with a stale step/epoch/lr and silently skew the resumed
+    # LR schedule; the json sidecar below is a human-readable copy only
+    flat["__meta_json__"] = np.frombuffer(
+        json.dumps(meta, default=str).encode(), dtype=np.uint8)
+    _atomic_savez(path, flat)
     tmp = path + ".json.tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f, indent=2, default=str)
@@ -130,7 +150,11 @@ def load_train_state(path: str, opt_state_template: Any) -> Tuple[Any, Any, Any,
     """Returns (params, opt_state, bn_state, meta). `opt_state_template`
     is a freshly initialized optimizer state used to restore structure."""
     tree = load_params(path)
-    meta = load_meta(path) or {}
+    embedded = tree.pop("__meta_json__", None)
+    if embedded is not None:  # atomic with the state (see save_train_state)
+        meta = json.loads(np.asarray(embedded).tobytes().decode())
+    else:  # older checkpoints: sidecar only
+        meta = load_meta(path) or {}
     params = tree.get("params", {})
     bn_state = tree.get("bn_state", None)
     opt_state = _tree_to_opt_state(tree.get("opt_state", {}), opt_state_template)

@@ -52,6 +52,14 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 
 def set_learning_rate(opt_state, lr: float):
-    """Update the injected hyperparam (staircase schedule step)."""
-    opt_state.hyperparams["learning_rate"] = lr
+    """Update the injected hyperparam (staircase schedule step).
+
+    Assign a CONCRETE f32 array, matching the aval inject_hyperparams
+    initialized — a raw Python float (weak type) would change the
+    opt_state pytree's aval and force one full retrace of the jitted
+    train step at the first LR decay (minutes per program on this TPU).
+    """
+    import jax.numpy as jnp
+
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
     return opt_state

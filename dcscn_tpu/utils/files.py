@@ -14,13 +14,18 @@ def make_dir(directory: str) -> None:
 
 
 def clean_dir(path: str) -> None:
-    """Recursively empty a directory (keeps the directory itself)."""
-    if not os.path.isdir(path):
+    """Recursively empty a directory (keeps the directory itself).
+
+    Symlinks are unlinked, never followed — recursing through a directory
+    symlink (e.g. a tf_log relocated to bigger storage, or a symlink-union
+    dataset dir like data/combined_8) would delete the TARGET's contents.
+    """
+    if not os.path.isdir(path) or os.path.islink(path):
         return
     for entry in os.listdir(path):
         full = os.path.join(path, entry)
         try:
-            if os.path.isfile(full):
+            if os.path.islink(full) or os.path.isfile(full):
                 os.remove(full)
             elif os.path.isdir(full):
                 clean_dir(full)

@@ -39,6 +39,8 @@ def load_image(
 
     if image.shape[2] >= 4:
         image = image[:, :, 0:3]
+    elif image.shape[2] == 2:  # gray+alpha (LA): keep luminance — a 2-ch
+        image = image[:, :, 0:1]  # array crashes every downstream path
 
     if print_console:
         print("Loaded [%s]: %d x %d x %d" % (filename, image.shape[1], image.shape[0], image.shape[2]))

@@ -101,3 +101,19 @@ def test_engine_small_image_falls_back_to_single_window():
     x2 = resize_ops.resize_image(x, 2)
     out = InferenceEngine(params, cfg).run(x, x2)
     assert out.shape == (24, 28, 1)
+
+
+def test_load_image_strips_gray_alpha(tmp_path):
+    """LA (gray+alpha) PNGs load as 1-channel — a 2-channel array would
+    crash every downstream CLI path (save_image, engine input)."""
+    from PIL import Image
+
+    from dcscn_tpu.utils import imaging
+
+    p = str(tmp_path / "la.png")
+    Image.fromarray(
+        np.dstack([np.full((6, 7), 120, np.uint8),
+                   np.full((6, 7), 255, np.uint8)]), mode="LA").save(p)
+    img = imaging.load_image(p, print_console=False)
+    assert img.shape == (6, 7, 1)
+    assert int(img[0, 0, 0]) == 120

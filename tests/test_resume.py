@@ -89,3 +89,72 @@ def test_load_train_state_missing(env):
     m = api.SuperResolution(Config(**TINY))
     m.build_graph(); m.init_all_variables(); m.build_optimizer()
     assert not m.load_train_state()
+
+
+def test_train_state_meta_atomic_with_npz(env):
+    """The schedule meta rides inside the npz: losing the json sidecar (or
+    crashing between the two file replaces) must not skew the resumed
+    step/epoch/lr."""
+    import os
+
+    m = api.SuperResolution(Config(**TINY))
+    m.build_graph(); m.init_all_variables(); m.build_optimizer()
+    m.init_epoch_index = lambda: None
+    _steps(m, 2)
+    m.lr = 0.0004
+    m.epochs_completed = 7
+    m.save_train_state()
+    base = m._ckpt_base("", 0) + ".train.npz"
+    os.remove(base + ".json")  # simulate the sidecar never landing
+
+    m2 = api.SuperResolution(Config(**TINY))
+    m2.build_graph(); m2.init_all_variables(); m2.build_optimizer()
+    assert m2.load_train_state()
+    assert m2.step == 2 and m2.epochs_completed == 7
+    assert m2.lr == pytest.approx(0.0004)
+
+
+def test_set_learning_rate_keeps_aval_stable(env):
+    """LR decay must not change the opt_state leaf's aval (a Python float
+    is weak-typed and would force a full retrace of the train step)."""
+    from dcscn_tpu.train import optimizers
+
+    m = api.SuperResolution(Config(**TINY))
+    m.build_graph(); m.init_all_variables(); m.build_optimizer()
+    st = m._ensure_trainer() and m.opt_state
+    before = m.opt_state.hyperparams["learning_rate"]
+    after = optimizers.set_learning_rate(m.opt_state, 0.0005).hyperparams[
+        "learning_rate"]
+    assert after.dtype == before.dtype
+    assert after.weak_type == before.weak_type == False  # noqa: E712
+
+
+def test_checkpoint_list_leaves_roundtrip(env):
+    """_flatten's '#%d' sequence encoding must invert on load."""
+    from dcscn_tpu.io import checkpoint as ckpt_io
+
+    tree = {"layer": {"w": [np.ones((2, 2)), np.zeros((3,))]}}
+    ckpt_io.save_params("seq.npz", tree)
+    back = ckpt_io.load_params("seq.npz")
+    assert isinstance(back["layer"]["w"], list) and len(back["layer"]["w"]) == 2
+    np.testing.assert_array_equal(back["layer"]["w"][0], np.ones((2, 2)))
+    np.testing.assert_array_equal(back["layer"]["w"][1], np.zeros((3,)))
+
+
+def test_clean_dir_never_follows_symlinks(tmp_path):
+    import os
+
+    from dcscn_tpu.utils import files
+
+    target = tmp_path / "precious"
+    target.mkdir()
+    (target / "keep.txt").write_text("data")
+    work = tmp_path / "tf_log"
+    work.mkdir()
+    (work / "scratch.txt").write_text("x")
+    os.symlink(str(target), str(work / "link"))
+
+    files.clean_dir(str(work))
+    assert (target / "keep.txt").exists()  # symlink target untouched
+    assert not (work / "scratch.txt").exists()
+    assert not (work / "link").exists()  # link itself removed

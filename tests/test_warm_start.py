@@ -49,6 +49,38 @@ def test_x4_inherits_everything_including_both_ps_stages():
     np.testing.assert_array_equal(out["Up-PS2"]["w"], src["Up-PS"]["w"])
 
 
+def test_bn_state_shape_gated_on_width_change(tmp_path, monkeypatch):
+    """bn running stats transfer only where shapes match the TARGET config;
+    a width change must not carry source-sized mean/var into the warm ckpt."""
+    import warm_start
+
+    from dcscn_tpu.io import checkpoint as ckpt_io
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("models")
+    src_cfg = Config(scale=2, batch_norm=True, **CFG_SMALL)
+    src = _params(src_cfg)
+    src_bn = jax.device_get(dcscn.init_bn_state(src_cfg))
+    ckpt_io.save_params("models/src.ckpt.npz", {"params": src, "bn_state": src_bn},
+                        meta={"model_name": "src"})
+
+    # target: narrower widths -> CNN layers change shape, bn must restart
+    warm_start.main([
+        "--scale=3", "--layers=3", "--filters=4", "--min_filters=4",
+        "--nin_filters=8", "--nin_filters2=4", "--dropout_rate=1.0",
+        "--batch_norm=True", "--src_name=src"])
+    tgt_cfg = Config(scale=3, batch_norm=True, layers=3, filters=4,
+                     min_filters=4, nin_filters=8, nin_filters2=4,
+                     dropout_rate=1.0)
+    out_path = "models/" + tgt_cfg.name() + "_warm.ckpt.npz"
+    tree = ckpt_io.load_params(out_path)
+    want = jax.device_get(dcscn.init_bn_state(tgt_cfg))
+    for lname, leaves in want.items():
+        for k, v in leaves.items():
+            assert np.shape(tree["bn_state"][lname][k]) == np.shape(v), (
+                lname, k)
+
+
 def test_warm_started_model_runs():
     src = _params(Config(scale=2, **CFG_SMALL))
     cfg3 = Config(scale=3, **CFG_SMALL)

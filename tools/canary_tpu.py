@@ -65,6 +65,10 @@ def main(argv=None):
 
     path = os.path.join(REPO, "models", args.ckpt + ".ckpt.npz")
     meta = ckpt_io.load_meta(path)
+    if meta is None or "config" not in meta:
+        raise SystemExit(
+            "missing config sidecar [%s.json] — the canary needs the "
+            "checkpoint's architecture config" % path)
     fields = {f.name for f in dataclasses.fields(Config)}
     cfg = Config(**{k: v for k, v in meta["config"].items() if k in fields})
     cfg = cfg.replace(self_ensemble=1, tile_size=0, mesh_spatial=1)

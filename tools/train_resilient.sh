@@ -1,0 +1,32 @@
+#!/bin/bash
+# Crash-resilient training driver for the known axon TPU-worker failure
+# mode (CLAUDE.md: oversized epoch-scan programs can crash the worker;
+# it self-restarts within ~a minute). Training state (params + optimizer
+# + LR-schedule position) is checkpointed atomically every epoch
+# (api.save_train_state), so a crashed run is relaunched with
+# --load_model_name=resume and continues from the last completed epoch.
+# The reference has no recovery story at all (a crashed sess.run loses
+# the run; SURVEY.md §5 "failure detection: none").
+#
+# Usage: tools/train_resilient.sh <train.py flags...>
+# Any user-passed --load_model_name applies to the FIRST attempt only
+# (warm starts); retries override it with =resume (argparse keeps the
+# last occurrence).
+set -u
+cd "$(dirname "$0")/.."
+MAX_TRIES=${MAX_TRIES:-5}
+tries=0
+while true; do
+  extra=""
+  [ $tries -gt 0 ] && extra="--load_model_name=resume"
+  python train.py "$@" $extra && exit 0
+  rc=$?
+  tries=$((tries + 1))
+  if [ $tries -ge "$MAX_TRIES" ]; then
+    echo "[train_resilient] giving up after $tries failed attempts" >&2
+    exit $rc
+  fi
+  echo "[train_resilient] train.py exited rc=$rc (attempt $tries/$MAX_TRIES);" \
+       "waiting 90s for the TPU worker to recover, then resuming" >&2
+  sleep 90
+done

@@ -76,11 +76,29 @@ def main(argv=None):
     fresh = jax.device_get(dcscn.init_params(jax.random.PRNGKey(0), cfg))
     params, copied, kept = warm_start_params(src_tree, fresh)
 
+    # bn running stats transfer only where shapes match the TARGET
+    # architecture (params get the same shape gate in warm_start_params);
+    # mismatched layers restart from fresh init stats
+    bn_state = src_tree.get("bn_state")
+    if bn_state and cfg.batch_norm:
+        fresh_bn = jax.device_get(dcscn.init_bn_state(cfg))
+        for lname, leaves in fresh_bn.items():
+            src_l = bn_state.get(lname, {})
+            for k, v in leaves.items():
+                s = src_l.get(k)
+                if s is not None and np.shape(s) == np.shape(v):
+                    fresh_bn[lname][k] = s
+                else:
+                    print("  fresh bn: %s/%s" % (lname, k))
+        bn_state = fresh_bn
+    elif not cfg.batch_norm:
+        bn_state = None
+
     out_name = cfg.name() + ns.out_suffix
     out_path = os.path.join(cfg.checkpoint_dir, out_name + ".ckpt.npz")
     ckpt_io.save_params(
         out_path,
-        {"params": params, "bn_state": src_tree.get("bn_state")},
+        {"params": params, "bn_state": bn_state},
         meta={"model_name": out_name, "config": dataclasses.asdict(cfg),
               "warm_start_src": ns.src_name},
     )
