@@ -1,0 +1,61 @@
+"""Hang-proof TPU health probe for the axon relay.
+
+A wedged relay makes EVERY jax call hang (even jax.devices()), so the
+probe runs in a subprocess with a hard timeout and reports one JSON line:
+
+    python tools/tpu_health.py [--timeout 60]
+    {"ok": true, "latency_s": 8.3}          # chip reachable, matmul ran
+    {"ok": false, "reason": "timeout"}      # relay wedged (kill+retry later)
+    {"ok": false, "reason": "error", ...}   # backend raised
+
+Used by operators before queueing chip work (CLAUDE.md: only ONE real
+chip; a wedged relay stays wedged for the issuing process — fresh
+processes reconnect once the worker returns). Exit code 0 iff ok.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import time
+
+_PROBE = """
+import jax, jax.numpy as jnp
+x = jnp.ones((256, 256))
+print(float(jax.device_get((x @ x).sum())))
+"""
+
+
+def probe(timeout: float = 60.0) -> dict:
+    t0 = time.time()
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _PROBE],
+            capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return {"ok": False, "reason": "timeout", "timeout_s": timeout}
+    dt = round(time.time() - t0, 1)
+    if out.returncode != 0:
+        return {"ok": False, "reason": "error", "latency_s": dt,
+                "stderr": out.stderr.strip().splitlines()[-1:]}
+    try:
+        val = float(out.stdout.strip().splitlines()[-1])
+    except (ValueError, IndexError):
+        return {"ok": False, "reason": "bad-output", "latency_s": dt}
+    # ones(256,256) @ ones(256,256) -> 256 per cell; sum = 256^3
+    return {"ok": val == 256.0 ** 3, "latency_s": dt}
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--timeout", type=float, default=60.0)
+    args = ap.parse_args(argv)
+    result = probe(args.timeout)
+    print(json.dumps(result))
+    return 0 if result["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
