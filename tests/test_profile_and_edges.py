@@ -117,3 +117,26 @@ def test_load_image_strips_gray_alpha(tmp_path):
     img = imaging.load_image(p, print_console=False)
     assert img.shape == (6, 7, 1)
     assert int(img[0, 0, 0]) == 120
+
+
+def test_tpu_health_probe_cpu_path(monkeypatch):
+    """The health probe's subprocess isolation + verdict logic, driven on
+    the CPU backend (the TPU path is exercised operationally)."""
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import tpu_health
+
+    monkeypatch.setattr(
+        tpu_health, "_PROBE",
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        + tpu_health._PROBE)
+    r = tpu_health.probe(120)
+    assert r["ok"] is True and r["latency_s"] > 0
+
+    # a probe that hangs must time out, not hang the caller
+    monkeypatch.setattr(tpu_health, "_PROBE",
+                        "import time; time.sleep(60)")
+    r = tpu_health.probe(2)
+    assert r == {"ok": False, "reason": "timeout", "timeout_s": 2}
