@@ -16,10 +16,36 @@ Prints exactly ONE JSON line.
 
 import argparse
 import json
+import os
 import sys
 import time
 
 BASELINE_CPU_MP_S = 0.0792  # torch-CPU L12 x2 stand-in, measured here
+
+
+def _gate_on_chip_health(timeout: float) -> None:
+    """Fail fast (one JSON line, exit 1) when the TPU relay is wedged.
+
+    A wedged axon relay hangs EVERY jax call in the issuing process —
+    including jax.devices() — so without this gate a bench run during an
+    outage blocks forever (seen down 6+ hours at the end of round 4).
+    The probe runs a matmul in a SUBPROCESS with a hard timeout
+    (tools/tpu_health.py). The subprocess inherits this environment, so
+    it resolves the SAME backend this process would (sitecustomize forces
+    the axon plugin regardless of JAX_PLATFORMS); on a CPU-only box the
+    probe just succeeds in a few seconds.
+    """
+    if timeout <= 0:
+        return
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from tpu_health import probe
+
+    result = probe(timeout)
+    if not result.get("ok"):
+        print(json.dumps({"metric": "bench_unavailable", "value": 0.0,
+                          "unit": "error", "vs_baseline": 0.0,
+                          "health": result}))
+        sys.exit(1)
 
 
 def main():
@@ -56,7 +82,15 @@ def main():
     ap.add_argument("--train_small", action="store_true",
                     help="with --train: tiny L3 model (CPU smoke only; "
                     "numbers are not the flagship benchmark)")
+    ap.add_argument("--health_timeout", type=float, default=300.0,
+                    help="probe chip health in a subprocess first and fail "
+                    "fast (one JSON error line, exit 1) if a matmul can't "
+                    "complete within this many seconds — a wedged axon "
+                    "relay otherwise hangs every jax call forever; "
+                    "0 disables the gate")
     args = ap.parse_args()
+
+    _gate_on_chip_health(args.health_timeout)
 
     if args.train:
         return bench_train(args)

@@ -140,3 +140,43 @@ def test_tpu_health_probe_cpu_path(monkeypatch):
                         "import time; time.sleep(60)")
     r = tpu_health.probe(2)
     assert r == {"ok": False, "reason": "timeout", "timeout_s": 2}
+
+
+def test_bench_health_gate(monkeypatch, capsys):
+    """bench.py's fail-fast gate: wedged relay -> one JSON error line +
+    exit 1 (never a hang); timeout=0 -> no probe."""
+    import importlib.util
+    import json as json_mod
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(repo, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import tpu_health
+
+    # wedged relay (probe not ok) -> SystemExit(1) + structured JSON line
+    monkeypatch.setattr(tpu_health, "probe",
+                        lambda t: {"ok": False, "reason": "timeout",
+                                   "timeout_s": t})
+    with pytest.raises(SystemExit) as ei:
+        bench._gate_on_chip_health(5.0)
+    assert ei.value.code == 1
+    rec = json_mod.loads(capsys.readouterr().out.strip())
+    assert rec["metric"] == "bench_unavailable"
+    assert rec["health"]["reason"] == "timeout"
+
+    # healthy chip -> returns without printing
+    monkeypatch.setattr(tpu_health, "probe",
+                        lambda t: {"ok": True, "latency_s": 1.0})
+    bench._gate_on_chip_health(5.0)
+    assert capsys.readouterr().out == ""
+
+    # timeout=0 -> probe never called
+    def _boom(t):
+        raise AssertionError("probe must not run")
+    monkeypatch.setattr(tpu_health, "probe", _boom)
+    bench._gate_on_chip_health(0)
