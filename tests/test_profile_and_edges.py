@@ -180,3 +180,32 @@ def test_bench_health_gate(monkeypatch, capsys):
         raise AssertionError("probe must not run")
     monkeypatch.setattr(tpu_health, "probe", _boom)
     bench._gate_on_chip_health(0)
+
+
+def test_tpu_health_wait_mode(monkeypatch):
+    """--wait polls until healthy (or deadline), without real sleeps."""
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import tpu_health
+
+    # becomes healthy on the 3rd probe
+    results = iter([{"ok": False, "reason": "timeout", "timeout_s": 1},
+                    {"ok": False, "reason": "timeout", "timeout_s": 1},
+                    {"ok": True, "latency_s": 1.0}])
+    monkeypatch.setattr(tpu_health, "probe", lambda t: dict(next(results)))
+    slept = []
+    r = tpu_health.wait_healthy(3600, timeout=1, interval_s=10,
+                                sleep=slept.append)
+    assert r["ok"] is True and slept == [10, 10]
+
+    # never healthy -> returns the failure once the deadline is reached
+    # (deadline < interval: the first failed probe is also the last)
+    monkeypatch.setattr(
+        tpu_health, "probe",
+        lambda t: {"ok": False, "reason": "timeout", "timeout_s": t})
+    slept = []
+    r = tpu_health.wait_healthy(5, timeout=1, interval_s=10,
+                                sleep=slept.append)
+    assert r["ok"] is False and slept == []

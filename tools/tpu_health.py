@@ -48,11 +48,35 @@ def probe(timeout: float = 60.0) -> dict:
     return {"ok": val == 256.0 ** 3, "latency_s": dt}
 
 
+def wait_healthy(deadline_s: float, timeout: float = 60.0,
+                 interval_s: float = 120.0, sleep=time.sleep) -> dict:
+    """Poll until the chip is healthy or deadline_s elapses.
+
+    Returns the last probe result plus {"waited_s": ...}. Used to park a
+    queued chip job behind an outage (the round-4 relay outage lasted 6+
+    hours; fresh processes reconnect once the worker returns).
+    """
+    t0 = time.time()
+    while True:
+        result = probe(timeout)
+        result["waited_s"] = round(time.time() - t0, 1)
+        if result["ok"] or time.time() - t0 + interval_s > deadline_s:
+            return result
+        sleep(interval_s)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--timeout", type=float, default=60.0)
+    ap.add_argument("--wait", type=float, default=0.0, metavar="SECONDS",
+                    help="keep polling (every --interval) until healthy or "
+                    "this many seconds have passed; exit 0 iff healthy")
+    ap.add_argument("--interval", type=float, default=120.0)
     args = ap.parse_args(argv)
-    result = probe(args.timeout)
+    if args.wait > 0:
+        result = wait_healthy(args.wait, args.timeout, args.interval)
+    else:
+        result = probe(args.timeout)
     print(json.dumps(result))
     return 0 if result["ok"] else 1
 
