@@ -27,6 +27,13 @@ while true; do
     exit $rc
   fi
   echo "[train_resilient] train.py exited rc=$rc (attempt $tries/$MAX_TRIES);" \
-       "waiting 90s for the TPU worker to recover, then resuming" >&2
-  sleep 90
+       "waiting for the TPU worker to recover, then resuming" >&2
+  sleep "${RECOVER_GRACE:-60}"  # worker self-restart takes ~a minute; don't probe a corpse
+  # a retry against a still-wedged relay would burn the attempt budget in
+  # minutes during a multi-hour outage — park until the chip answers
+  if ! python tools/tpu_health.py --wait "${RECOVER_WAIT:-14400}" --interval 60; then
+    echo "[train_resilient] chip still unreachable after RECOVER_WAIT;" \
+         "giving up (resume later with --load_model_name=resume)" >&2
+    exit $rc
+  fi
 done
