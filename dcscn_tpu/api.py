@@ -287,6 +287,9 @@ class SuperResolution:
             scaled_ycbcr = color.convert_rgb_to_ycbcr(scaled_image)
             image = color.convert_y_and_cbcr_to_rgb(output_y_image, scaled_ycbcr[:, :, 1:3])
         else:
+            # the reference saves a _bicubic_y artifact in the monochrome
+            # branch too (DCSCN.py:610-611, a duplicate of _bicubic)
+            imaging.save_image(output_folder + filename + "_bicubic_y" + extension, scaled_image)
             image = self.do(org_image)
 
         imaging.save_image(output_folder + filename + "_result" + extension, image)

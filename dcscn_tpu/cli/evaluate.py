@@ -34,12 +34,19 @@ def evaluate_bicubic(model: api.SuperResolution, cfg, test_data: str):
         logging.warning("no evaluable images in [%s]" % test_data)
         return
     total_psnr = total_ssim = 0.0
+    n = 0
     for filename in test_filenames:
         psnr, ssim = model.evaluate_bicubic(filename, print_console=False)
+        if psnr is None:  # unreadable/unsupported image — skip, like the model path
+            continue
         total_psnr += psnr
         total_ssim += ssim
+        n += 1
+    if n == 0:
+        logging.warning("no evaluable images in [%s]" % test_data)
+        return
     logging.info("Bicubic Average [%s] PSNR:%f, SSIM:%f" % (
-        test_data, total_psnr / len(test_filenames), total_ssim / len(test_filenames)))
+        test_data, total_psnr / n, total_ssim / n))
 
 
 def evaluate_model(model: api.SuperResolution, cfg, test_data: str, save_results: bool,

