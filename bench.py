@@ -37,10 +37,22 @@ def _gate_on_chip_health(timeout: float) -> None:
     """
     if timeout <= 0:
         return
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
-    from tpu_health import probe
+    # load by path instead of sys.path.insert(0, ...) so repeated gates
+    # don't stack duplicates ahead of site-packages (ADVICE r4); reuse a
+    # module someone else (tests, tools) already imported
+    try:
+        import tpu_health
+    except ImportError:
+        import importlib.util
 
-    result = probe(timeout)
+        spec = importlib.util.spec_from_file_location(
+            "tpu_health",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "tpu_health.py"))
+        tpu_health = importlib.util.module_from_spec(spec)
+        sys.modules["tpu_health"] = tpu_health
+        spec.loader.exec_module(tpu_health)
+
+    result = tpu_health.probe(timeout)
     if not result.get("ok"):
         print(json.dumps({"metric": "bench_unavailable", "value": 0.0,
                           "unit": "error", "vs_baseline": 0.0,

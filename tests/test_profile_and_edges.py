@@ -200,12 +200,15 @@ def test_tpu_health_wait_mode(monkeypatch):
                                 sleep=slept.append)
     assert r["ok"] is True and slept == [10, 10]
 
-    # never healthy -> returns the failure once the deadline is reached
-    # (deadline < interval: the first failed probe is also the last)
+    # never healthy -> returns the failure once the deadline is reached.
+    # A wait shorter than the interval still polls to the deadline instead
+    # of bailing after one probe (ADVICE r4): sleep the remaining budget,
+    # probe once more, give up.
     monkeypatch.setattr(
         tpu_health, "probe",
         lambda t: {"ok": False, "reason": "timeout", "timeout_s": t})
     slept = []
     r = tpu_health.wait_healthy(5, timeout=1, interval_s=10,
                                 sleep=slept.append)
-    assert r["ok"] is False and slept == []
+    assert r["ok"] is False and len(slept) == 1 and abs(slept[0] - 5) < 0.1
+    assert r["waited_s"] >= 4.9

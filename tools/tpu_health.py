@@ -17,15 +17,22 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import subprocess
 import sys
 import time
 
+# the probe pays remote-compile latency on a cache miss; point it at the
+# repo's persistent XLA cache so a healthy chip answers in seconds, not
+# the 2-10 min a cold compile can take (ADVICE r4)
+_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
 _PROBE = """
 import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", %r)
 x = jnp.ones((256, 256))
 print(float(jax.device_get((x @ x).sum())))
-"""
+""" % _CACHE_DIR
 
 
 def probe(timeout: float = 60.0) -> dict:
@@ -57,12 +64,21 @@ def wait_healthy(deadline_s: float, timeout: float = 60.0,
     hours; fresh processes reconnect once the worker returns).
     """
     t0 = time.time()
+    slept_total = 0.0
     while True:
         result = probe(timeout)
-        result["waited_s"] = round(time.time() - t0, 1)
-        if result["ok"] or time.time() - t0 + interval_s > deadline_s:
+        # track requested sleep time too, so an injected no-op sleep (tests)
+        # still converges on the deadline
+        elapsed = max(time.time() - t0, slept_total)
+        result["waited_s"] = round(elapsed, 1)
+        if result["ok"] or elapsed >= deadline_s - 1e-3:
             return result
-        sleep(interval_s)
+        # sleep only what fits in the budget so a wait shorter than the
+        # interval still polls until the deadline, as the help text
+        # promises (ADVICE r4)
+        step = min(interval_s, deadline_s - elapsed)
+        sleep(step)
+        slept_total += step
 
 
 def main(argv=None) -> int:

@@ -16,12 +16,28 @@ set -u
 cd "$(dirname "$0")/.."
 MAX_TRIES=${MAX_TRIES:-5}
 tries=0
+fastfails=0
 while true; do
   extra=""
   [ $tries -gt 0 ] && extra="--load_model_name=resume"
+  start=$(date +%s)
   python train.py "$@" $extra && exit 0
   rc=$?
   tries=$((tries + 1))
+  # deterministic failures (bad flag, missing data) die in seconds and
+  # would sail through the health probe; two consecutive sub-45s exits
+  # can't be worker crashes (those happen minutes into a scan), so stop
+  # burning the attempt budget on them (ADVICE r4)
+  if [ $(( $(date +%s) - start )) -lt 45 ]; then
+    fastfails=$((fastfails + 1))
+  else
+    fastfails=0
+  fi
+  if [ $fastfails -ge 2 ]; then
+    echo "[train_resilient] two consecutive sub-45s failures — looks" \
+         "deterministic (bad flags/data), not a chip crash; giving up" >&2
+    exit $rc
+  fi
   if [ $tries -ge "$MAX_TRIES" ]; then
     echo "[train_resilient] giving up after $tries failed attempts" >&2
     exit $rc
