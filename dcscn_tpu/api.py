@@ -198,7 +198,9 @@ class SuperResolution:
     def load_graph(self, frozen_graph_path: str = ""):
         """Load an exported inference artifact (reference frozen-graph
         equivalent, DCSCN.py:192-220): a params .npz + config json produced
-        by `dcscn_tpu.io.export.export_model`."""
+        by `dcscn_tpu.io.export.export_model`, or an actual reference
+        frozen_model.pb (helper/custom_freeze_graph.py:14-61) whose Const
+        weights are converted in place."""
         from dcscn_tpu.io import export
 
         # the artifact carries the full model config — preserve this
@@ -217,9 +219,17 @@ class SuperResolution:
             self_ensemble=self.cfg.self_ensemble, max_value=self.cfg.max_value,
             mesh_spatial=self.cfg.mesh_spatial,
         )
-        self.params, self.bn_state, cfg = export.load_exported(
-            frozen_graph_path or self.cfg.frozen_graph_path, self.cfg
-        )
+        path = frozen_graph_path or self.cfg.frozen_graph_path
+        if path.endswith(".pb"):
+            # reference frozen GraphDef: architecture comes from this
+            # session's flags (the reference requires matching eval args,
+            # README.md:123) plus shape-inferred overrides
+            from dcscn_tpu.io import tf_ckpt
+
+            raw, cfg = tf_ckpt.convert_frozen_graph(path, self.cfg)
+            self.params, self.bn_state = tf_ckpt.split_bn(raw)
+        else:
+            self.params, self.bn_state, cfg = export.load_exported(path, self.cfg)
         self.cfg = cfg.replace(**runtime_keep)
         self._refresh_derived()
 

@@ -10,6 +10,10 @@ with optimizer/BN-training baggage stripped and BN folded into conv
 weights where possible, plus (b) the exact model config, in one .npz +
 .json pair. `evaluate --frozenInference --frozen_graph_path=...` loads it
 without needing the original checkpoint directory or training flags.
+
+An actual reference frozen_model.pb also loads through the same flag:
+api.load_graph routes *.pb to io/tf_ckpt.convert_frozen_graph, which
+parses the GraphDef's Const weights directly (no TF session).
 """
 
 from __future__ import annotations

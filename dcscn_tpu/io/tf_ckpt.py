@@ -47,7 +47,12 @@ def infer_config_overrides(ckpt_path: str, cfg: Config) -> Config:
     - pixel_shuffler_filters from Up-PS*/conv_W output channels
     - reconstruct_filters from R-CNN1/conv_W when reconstruct_layers > 1
     """
-    shapes = list_variables(ckpt_path)
+    return infer_overrides_from_shapes(list_variables(ckpt_path), cfg)
+
+
+def infer_overrides_from_shapes(shapes: Dict[str, tuple], cfg: Config) -> Config:
+    """Shape-based config recovery shared by the TF-checkpoint and
+    frozen-GraphDef readers (see infer_config_overrides)."""
     overrides = {}
     if not cfg.use_nin and "C/conv_W" not in shapes:
         # ver1-style graph: no 1x1 "C" layer; upsampler consumes the concat
@@ -79,6 +84,59 @@ def convert_tf_checkpoint(ckpt_path: str, cfg: Config, strict: bool = True) -> D
             raise KeyError("variable %r not found in %s" % (name, ckpt_path))
         return np.asarray(reader.get_tensor(name), dtype=np.float32)
 
+    return _convert_from_source(get, cfg, strict)
+
+
+def read_frozen_graph(pb_path: str) -> Dict[str, np.ndarray]:
+    """Extract Const tensors from a frozen GraphDef (.pb) by node name.
+
+    The reference's freeze pipeline (helper/custom_freeze_graph.py:14-61,
+    then optionally helper/optimize_for_inference.py:74-101) rewrites each
+    variable into a Const node carrying the variable's op name (e.g.
+    "CNN1/conv_W"), so the checkpoint name mapping applies unchanged.
+    Only the GraphDef protobuf is parsed — no TF session or graph import.
+    """
+    from tensorflow.core.framework import graph_pb2  # offline tool only
+    from tensorflow.python.framework import tensor_util
+
+    graph_def = graph_pb2.GraphDef()
+    with open(pb_path, "rb") as f:
+        graph_def.ParseFromString(f.read())
+    consts: Dict[str, np.ndarray] = {}
+    for node in graph_def.node:
+        if node.op == "Const" and "value" in node.attr:
+            try:
+                consts[node.name] = tensor_util.MakeNdarray(node.attr["value"].tensor)
+            except Exception:  # non-tensor consts (shapes, strings) — skip
+                continue
+    if not consts:
+        raise ValueError("no Const tensors found in %s — not a frozen "
+                         "GraphDef produced by convert_variables_to_constants?"
+                         % pb_path)
+    return consts
+
+
+def convert_frozen_graph(pb_path: str, cfg: Config, strict: bool = True):
+    """Read a reference frozen_model.pb into (params, inferred cfg).
+
+    Drop-in interop for artifacts from the reference deployment pipeline
+    (DCSCN.py:192-220 loads them into a TF session; here the consts feed
+    the same layer_plan mapping as checkpoint conversion).
+    """
+    consts = read_frozen_graph(pb_path)
+    cfg = infer_overrides_from_shapes({k: tuple(v.shape) for k, v in consts.items()}, cfg)
+
+    def get(name: str) -> np.ndarray:
+        if name not in consts:
+            raise KeyError("const %r not found in %s" % (name, pb_path))
+        return np.asarray(consts[name], dtype=np.float32)
+
+    return _convert_from_source(get, cfg, strict), cfg
+
+
+def _convert_from_source(get, cfg: Config, strict: bool = True) -> Dict[str, Any]:
+    """Map reference-scoped tensors (from a checkpoint reader or a frozen
+    GraphDef) onto the layer_plan pytree."""
     params: Dict[str, Any] = {}
     for spec in dcscn.layer_plan(cfg):
         name = spec["name"]
