@@ -341,7 +341,8 @@ class SuperResolution:
         outs = self.engine.run_many(inputs, bicubics)
         for i, true_y, output_y in zip(idxs, trues, outs):
             results[i] = metrics.compute_psnr_and_ssim(
-                true_y, output_y, border_size=self.psnr_calc_border_size)
+                true_y, output_y, border_size=self.psnr_calc_border_size,
+                literal_ssim=self.cfg.reference_ssim)
         return results
 
     def do_for_evaluate(self, file_path: str, print_console: bool = False):
@@ -352,7 +353,8 @@ class SuperResolution:
         bicubic_y = resize_ops.resize_image(input_y, self.scale)
         output_y = self.do(input_y, bicubic_y)
         psnr, ssim = metrics.compute_psnr_and_ssim(
-            true_y, output_y, border_size=self.psnr_calc_border_size
+            true_y, output_y, border_size=self.psnr_calc_border_size,
+                literal_ssim=self.cfg.reference_ssim
         )
         if print_console:
             print("[%s] PSNR:%f, SSIM:%f" % (file_path, psnr, ssim))
@@ -384,7 +386,8 @@ class SuperResolution:
 
             output_y = self.do(input_y, bicubic_y)
             psnr, ssim = metrics.compute_psnr_and_ssim(
-                true_ycbcr[:, :, 0:1], output_y, border_size=self.psnr_calc_border_size
+                true_ycbcr[:, :, 0:1], output_y, border_size=self.psnr_calc_border_size,
+                literal_ssim=self.cfg.reference_ssim
             )
             loss_image = metrics.get_loss_image(
                 true_ycbcr[:, :, 0:1], output_y, border_size=self.psnr_calc_border_size
@@ -405,7 +408,8 @@ class SuperResolution:
             bicubic_y = resize_ops.resize_image(input_img, self.scale)
             output = self.do(input_img, bicubic_y)
             psnr, ssim = metrics.compute_psnr_and_ssim(
-                true_image, output, border_size=self.psnr_calc_border_size
+                true_image, output, border_size=self.psnr_calc_border_size,
+                literal_ssim=self.cfg.reference_ssim
             )
             imaging.save_image(output_directory + file_path, true_image)
             imaging.save_image(output_directory + filename + "_result" + extension, output)
@@ -439,7 +443,8 @@ class SuperResolution:
             return None, None
         input_bicubic = resize_ops.resize_image(input_img, self.scale)
         psnr, ssim = metrics.compute_psnr_and_ssim(
-            true_y, input_bicubic, border_size=self.psnr_calc_border_size
+            true_y, input_bicubic, border_size=self.psnr_calc_border_size,
+                literal_ssim=self.cfg.reference_ssim
         )
         if print_console:
             print("PSNR:%f, SSIM:%f" % (psnr, ssim))

@@ -98,6 +98,7 @@ class Config:
     channels: int = 1
     psnr_calc_border_size: int = -1
     build_batch: bool = False
+    reference_ssim: bool = False
 
     # Environment (helper/args.py:76-85)
     checkpoint_dir: str = "models"
@@ -306,6 +307,9 @@ _HELP = {
     "max_value": "For normalize image pixel value",
     "channels": "Number of image channels used. Now it should be 1. using only Y from YCbCr.",
     "psnr_calc_border_size": "Cropping border size for calculating PSNR. if < 0, use scale for default.",
+    "reference_ssim": "Report the reference's literal column-averaged SSIM (its "
+                      "multichannel-on-2D skimage call, helper/utilty.py:529-535) instead "
+                      "of the intended 2-D SSIM, for byte-compatible comparisons.",
     "build_batch": "Build pre-processed input batch.",
     "checkpoint_dir": "Directory for checkpoints",
     "graph_dir": "Directory for graphs",

