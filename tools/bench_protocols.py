@@ -37,7 +37,14 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--jit_cache_dir", type=str, default="/root/repo/.jax_cache")
+    ap.add_argument("--platform", type=str, default="",
+                    help="force a jax backend (e.g. cpu) for smoke runs")
     args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     import jax
     import jax.lax as lax
@@ -112,6 +119,28 @@ def main():
     def fused():
         jax.device_get(forward_n(params, x, x2))
 
+    def threads2():
+        # two dispatcher threads, half the iterations each: if the relay's
+        # execute call blocks the issuing thread on a synchronous RPC,
+        # overlapping two issuers hides that round-trip
+        import threading
+
+        outs = [None, None]
+
+        def work(slot, inp):
+            y = None
+            for _ in range(args.iters // 2):
+                y = forward(params, inp, x2)
+            outs[slot] = y
+
+        ts = [threading.Thread(target=work, args=(0, x)),
+              threading.Thread(target=work, args=(1, xb))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        jax.device_get(outs)
+
     out = {
         "bench": "protocol_variants",
         "batch": n, "lr_size": lr, "iters": args.iters,
@@ -120,6 +149,7 @@ def main():
             "hold_all": timed(hold_all),
             "get_all": timed(get_all),
             "interleave2": timed(interleave2),
+            "threads2": timed(threads2),
             "fused": timed(fused),
         },
     }
