@@ -87,7 +87,7 @@ def train(model: api.SuperResolution, cfg, trial: int, reference_loop: bool = Fa
     if len(test_filenames) <= 0:
         raise SystemExit("Can't load images from [%s]" % (cfg.data_dir + "/" + cfg.test_dataset))
 
-    model.init_all_variables(seed=trial)
+    model.init_all_variables(seed=trial + cfg.train_seed)
     model.init_train_step()
     resumed = False
     if cfg.load_model_name == "resume":
@@ -165,7 +165,7 @@ def _train_loop_scan(model, cfg, trial, test_filenames, steps_per_epoch,
         if model.bn_state is not None:
             model.bn_state = trainer.replicate(jax.device_get(model.bn_state))
     store = trainer.shard_store(model.train.as_store())
-    rng = np.random.default_rng(1234 + trial)
+    rng = np.random.default_rng(1234 + trial + cfg.train_seed)
     scan_fn = trainer.epoch_scan()
     psnr = ssim = 0.0
 
@@ -220,7 +220,7 @@ def _train_loop_dynamic(model, cfg, trial, test_filenames, steps_per_epoch):
     trainer = model._ensure_trainer()
     step_fn = trainer.train_step()
     transform = device_transform_fn(cfg.batch_image_size, cfg.scale, cfg.max_value)
-    model.train.start_prefetch(seed=trial)
+    model.train.start_prefetch(seed=trial + cfg.train_seed)
     psnr = ssim = 0.0
 
     while model.lr > cfg.end_lr:

@@ -92,6 +92,7 @@ class Config:
     test_dataset: str = "set5"
     tests: int = 1
     do_benchmark: bool = False
+    train_seed: int = 0
 
     # Image processing (helper/args.py:68-74)
     max_value: float = 255.0
@@ -296,6 +297,9 @@ _HELP = {
     "stride_size": "Stride size for mini-batch. If it is 0, use half of batch_image_size",
     "training_images": "Number of training on each epoch",
     "use_l1_loss": "Use L1 Error as loss function instead of MSE Error.",
+    "train_seed": "Offset for the init/shuffle PRNG seeds (additive with the trial "
+                  "index). Use a different value to get an independent same-recipe "
+                  "run, e.g. a second soup member (the reference has no seed control).",
     "initial_lr": "Initial learning rate",
     "lr_decay": "Learning rate decay rate",
     "lr_decay_epoch": "After this epochs are completed, learning rate will be decayed by lr_decay.",

@@ -206,6 +206,36 @@ def test_train_cli_scan_chunk(env):
     assert any(n.endswith(".ckpt.npz") for n in names)
 
 
+def test_train_cli_train_seed(env):
+    """--train_seed yields an independent same-recipe run (different data
+    shuffle -> different weights), while repeating a seed reproduces it —
+    the knob behind second-seed soup members."""
+    import numpy as np
+    from dcscn_tpu.cli import train
+    from dcscn_tpu.io import checkpoint as ckpt_io
+
+    base = ["--dataset=tinyset", "--test_dataset=tinyset", "--build_batch=True",
+            "--batch_image_size=16", "--batch_num=2", "--training_images=8",
+            "--initial_lr=0.002", "--end_lr=0.0015", "--lr_decay_epoch=2",
+            "--initialize_tf_log=False"]
+
+    def run(name, seed):
+        train.main(TINY_FLAGS + base + ["--model_name=" + name,
+                                        "--train_seed=%d" % seed])
+        return ckpt_io.load_params("models/dcscn_%s.ckpt.npz" % name)["params"]
+
+    p0 = run("seed0", 0)
+    p0b = run("seed0b", 0)
+    p1 = run("seed1", 7)
+    import jax.tree_util as jtu
+
+    flat0 = np.concatenate([np.ravel(x) for x in jtu.tree_leaves(p0)])
+    flat0b = np.concatenate([np.ravel(x) for x in jtu.tree_leaves(p0b)])
+    flat1 = np.concatenate([np.ravel(x) for x in jtu.tree_leaves(p1)])
+    np.testing.assert_array_equal(flat0, flat0b)
+    assert np.abs(flat0 - flat1).max() > 0
+
+
 def test_train_cli_scan_with_weight_summaries(env):
     """Fused-scan loop with --save_weights: the per-epoch gradient/tensor
     summary probe runs against the gathered first-step minibatch."""
