@@ -75,6 +75,17 @@ def main():
                     "throughput with the per-dispatch relay overhead "
                     "amortized away (xplane: ~71 ms/iter device vs ~120 ms "
                     "per individual dispatch through the remote tunnel)")
+    ap.add_argument("--protocol", type=str, default="rebind",
+                    choices=("rebind", "hold_all", "threads2"),
+                    help="how the default (non-fused) timed loop issues and "
+                    "materializes dispatches — identical per-iteration math, "
+                    "different relay interaction: 'rebind' re-binds y each "
+                    "iter (deleting the prior buffer) and gets the last; "
+                    "'hold_all' keeps every result alive until the end (no "
+                    "mid-loop deletion RPCs); 'threads2' splits the "
+                    "iterations across two dispatcher threads to overlap "
+                    "the relay's per-dispatch round-trip "
+                    "(tools/bench_protocols.py measures all variants)")
     ap.add_argument("--jit_cache_dir", type=str, default="/root/repo/.jax_cache")
     ap.add_argument("--train", action="store_true",
                     help="measure TRAINING throughput instead: fused epoch "
@@ -163,14 +174,51 @@ def main():
             jax.device_get(forward_n(params, x, x2))
             best_dt = min(best_dt, time.perf_counter() - t0)
     else:
+        if args.protocol == "threads2":
+            import threading
+
+            # a second independent input so the two streams share no buffer
+            xb = jax.random.uniform(jax.random.PRNGKey(2), x.shape,
+                                    jnp.float32, 0, 255)
+            jax.device_get(forward(params, xb, x2))  # warm the second stream
+            half = max(1, args.iters // 2)
+            timed_iters = 2 * half  # actual forwards issued (iters rounded even)
+
+            def run_protocol():
+                outs = [None, None]
+
+                def work(slot, inp):
+                    y = None
+                    for _ in range(half):
+                        y = forward(params, inp, x2)
+                    outs[slot] = y
+
+                ts = [threading.Thread(target=work, args=(0, x)),
+                      threading.Thread(target=work, args=(1, xb))]
+                for t in ts:
+                    t.start()
+                for t in ts:
+                    t.join()
+                jax.device_get(outs)
+        elif args.protocol == "hold_all":
+            def run_protocol():
+                ys = [forward(params, x, x2) for _ in range(args.iters)]
+                jax.device_get(ys[-1])
+        else:  # rebind
+            def run_protocol():
+                y = None
+                for _ in range(args.iters):
+                    y = forward(params, x, x2)
+                jax.device_get(y)
+
         for _rep in range(3):
             t0 = time.perf_counter()
-            for _ in range(args.iters):
-                y = forward(params, x, x2)
-            jax.device_get(y)
+            run_protocol()
             best_dt = min(best_dt, time.perf_counter() - t0)
 
-    hr_megapixels = n * (lr * s) ** 2 / 1e6 * args.iters
+    if args.fused_iters or args.protocol != "threads2":
+        timed_iters = args.iters
+    hr_megapixels = n * (lr * s) ** 2 / 1e6 * timed_iters
     mp_s = hr_megapixels / best_dt
 
     record = {
@@ -180,6 +228,8 @@ def main():
         "unit": "HR_megapixels/sec",
         "vs_baseline": round(mp_s / BASELINE_CPU_MP_S, 2),
     }
+    if not args.fused_iters and args.protocol != "rebind":
+        record["protocol"] = args.protocol
 
     if not args.fused_iters:
         # also report the device-side number (all timed iterations fused
@@ -205,7 +255,10 @@ def main():
             t0 = time.perf_counter()
             jax.device_get(forward_n(params, x, x2))
             best_dev = min(best_dev, time.perf_counter() - t0)
-        record["device_mp_s"] = round(hr_megapixels / best_dev, 3)
+        # forward_n always scans exactly args.iters (independent of any
+        # threads2 rounding in the protocol loop above)
+        record["device_mp_s"] = round(
+            n * (lr * s) ** 2 / 1e6 * args.iters / best_dev, 3)
 
     print(json.dumps(record))
 
