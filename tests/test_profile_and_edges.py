@@ -212,3 +212,30 @@ def test_tpu_health_wait_mode(monkeypatch):
                                 sleep=slept.append)
     assert r["ok"] is False and len(slept) == 1 and abs(slept[0] - 5) < 0.1
     assert r["waited_s"] >= 4.9
+
+
+def test_bench_protocol_variants(monkeypatch, capsys):
+    """Every --protocol variant of bench.py's default timed loop runs the
+    same jitted forward end-to-end and reports a positive MP/s with
+    correct iteration accounting (threads2 rounds iters to even)."""
+    import importlib.util
+    import json as json_mod
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod2", os.path.join(repo, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    for proto in ("rebind", "hold_all", "threads2"):
+        monkeypatch.setattr(sys, "argv", [
+            "bench.py", "--health_timeout=0", "--iters", "3", "--warmup", "1",
+            "--batch", "1", "--lr_size", "16", "--jit_cache_dir=",
+            "--protocol", proto])
+        bench.main()
+        rec = json_mod.loads(capsys.readouterr().out.strip())
+        assert rec["metric"] == "dcscn_L12_x2_sr_throughput"
+        assert rec["value"] > 0 and rec["device_mp_s"] > 0
+        # rebind is the (current) default and omits the tag; others carry it
+        assert rec.get("protocol") == (None if proto == "rebind" else proto)
