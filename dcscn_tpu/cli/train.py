@@ -36,6 +36,11 @@ EXTRA_FLAGS = [
      "Oversized single dispatches can crash the TPU worker (observed at "
      "2400 steps of 64px patches and at 4800 steps of 48px); 1200 is a "
      "proven-safe chunk."),
+    ("snapshot_tail_epochs", int, 0,
+     "Keep a copy of the per-epoch checkpoint (<name>_snapE<epoch>) for the "
+     "last N epochs of the schedule. The snapshots sit in the same basin by "
+     "construction (one low-LR trajectory tail), so averaging them with "
+     "tools/soup_ckpt.py is a valid SWA-style model soup."),
 ]
 
 
@@ -65,7 +70,8 @@ def main(argv=None):
     total_psnr = total_ssim = 0.0
     for i in range(cfg.tests):
         psnr, ssim = train(model, cfg, i, reference_loop=ns.reference_loop,
-                           scan_chunk=ns.scan_chunk)
+                           scan_chunk=ns.scan_chunk,
+                           snapshot_tail=ns.snapshot_tail_epochs)
         total_psnr += psnr
         total_ssim += ssim
         logging.info("\nTrial(%d) %s" % (i, logging_util.get_now_date()))
@@ -81,8 +87,20 @@ def main(argv=None):
     model.copy_log_to_archive("archive")
 
 
+def _maybe_snapshot(model: api.SuperResolution, trial: int, tail: int):
+    """SWA-style tail snapshots: copy the just-saved per-epoch checkpoint to
+    a <name>_snapE<epoch> name during the last `tail` epochs of the schedule
+    (same basin by construction — one low-LR trajectory; soup them with
+    tools/soup_ckpt.py)."""
+    if tail <= 0:
+        return
+    if model.epochs_completed > model.total_epochs - tail:
+        model.save_model(name=model.name + "_snapE%d" % model.epochs_completed,
+                         trial=trial)
+
+
 def train(model: api.SuperResolution, cfg, trial: int, reference_loop: bool = False,
-          scan_chunk: int = 0):
+          scan_chunk: int = 0, snapshot_tail: int = 0):
     test_filenames = files.get_files_in_directory(cfg.data_dir + "/" + cfg.test_dataset)
     if len(test_filenames) <= 0:
         raise SystemExit("Can't load images from [%s]" % (cfg.data_dir + "/" + cfg.test_dataset))
@@ -107,12 +125,15 @@ def train(model: api.SuperResolution, cfg, trial: int, reference_loop: bool = Fa
     steps_per_epoch = model.training_images // model.batch_num
 
     if reference_loop:
-        psnr, ssim = _train_loop_steps(model, cfg, trial, test_filenames, steps_per_epoch)
+        psnr, ssim = _train_loop_steps(model, cfg, trial, test_filenames,
+                                       steps_per_epoch, snapshot_tail=snapshot_tail)
     elif hasattr(model.train, "as_store"):
         psnr, ssim = _train_loop_scan(model, cfg, trial, test_filenames,
-                                      steps_per_epoch, scan_chunk=scan_chunk)
+                                      steps_per_epoch, scan_chunk=scan_chunk,
+                                      snapshot_tail=snapshot_tail)
     else:
-        psnr, ssim = _train_loop_dynamic(model, cfg, trial, test_filenames, steps_per_epoch)
+        psnr, ssim = _train_loop_dynamic(model, cfg, trial, test_filenames,
+                                         steps_per_epoch, snapshot_tail=snapshot_tail)
 
     model.end_train_step()
     model.save_model(trial=trial, output_log=True)
@@ -125,7 +146,8 @@ def train(model: api.SuperResolution, cfg, trial: int, reference_loop: bool = Fa
     return psnr, ssim
 
 
-def _train_loop_steps(model, cfg, trial, test_filenames, steps_per_epoch):
+def _train_loop_steps(model, cfg, trial, test_filenames, steps_per_epoch,
+                      snapshot_tail: int = 0):
     """Reference-equivalent loop: host builds each minibatch, one jitted
     optimizer step per iteration (train.py:78-94)."""
     from dcscn_tpu.train.trainer import Batch
@@ -146,13 +168,14 @@ def _train_loop_steps(model, cfg, trial, test_filenames, steps_per_epoch):
             model.log_to_tensorboard(test_filenames[0], psnr, sample_batch=sample)
             model.save_model(trial=trial)
             model.save_train_state(trial=trial)
+            _maybe_snapshot(model, trial, snapshot_tail)
             model.update_epoch_and_lr()
             model.init_epoch_index()
     return psnr, ssim
 
 
 def _train_loop_scan(model, cfg, trial, test_filenames, steps_per_epoch,
-                     scan_chunk: int = 0):
+                     scan_chunk: int = 0, snapshot_tail: int = 0):
     """Fused epoch path: patch store on device, full epoch per dispatch
     (or `scan_chunk`-step dispatches — equivalent math, bounds the program
     the TPU worker must hold, see the flag help)."""
@@ -205,11 +228,13 @@ def _train_loop_scan(model, cfg, trial, test_filenames, steps_per_epoch,
         model.log_to_tensorboard(test_filenames[0], psnr, sample_batch=sample)
         model.save_model(trial=trial)
         model.save_train_state(trial=trial)
+        _maybe_snapshot(model, trial, snapshot_tail)
         model.update_epoch_and_lr()
     return psnr, ssim
 
 
-def _train_loop_dynamic(model, cfg, trial, test_filenames, steps_per_epoch):
+def _train_loop_dynamic(model, cfg, trial, test_filenames, steps_per_epoch,
+                        snapshot_tail: int = 0):
     """Dynamic-sampling fast path: host thread pool prefetches random-crop
     batches while the device runs color/flip-free bicubic transforms + the
     train step (the reference does all of this serially per sample,
@@ -251,6 +276,7 @@ def _train_loop_dynamic(model, cfg, trial, test_filenames, steps_per_epoch):
         model.log_to_tensorboard(test_filenames[0], psnr, sample_batch=sample)
         model.save_model(trial=trial)
         model.save_train_state(trial=trial)
+        _maybe_snapshot(model, trial, snapshot_tail)
         model.update_epoch_and_lr()
     model.train.stop_prefetch()
     return psnr, ssim

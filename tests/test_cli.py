@@ -257,3 +257,30 @@ def test_train_cli_scan_with_weight_summaries(env):
         with open(os.path.join(train_dir, fname), "rb") as f:
             blobs += f.read()
     assert b"gradients" in blobs and b"Y_/output" in blobs
+
+
+def test_train_cli_snapshot_tail(env):
+    """--snapshot_tail_epochs keeps per-epoch checkpoint copies over the
+    schedule tail, and they soup cleanly (SWA-style same-basin average)."""
+    import importlib.util
+
+    from dcscn_tpu.cli import train
+
+    train.main(TINY_FLAGS + [
+        "--dataset=tinyset", "--test_dataset=tinyset", "--build_batch=True",
+        "--batch_image_size=16", "--batch_num=2", "--training_images=4",
+        "--initial_lr=0.002", "--end_lr=0.0015", "--lr_decay_epoch=2",
+        "--snapshot_tail_epochs=2", "--initialize_tf_log=False",
+    ])
+    names = os.listdir("models")
+    snaps = sorted(n for n in names if "_snapE" in n and n.endswith(".ckpt.npz"))
+    assert len(snaps) == 2  # 2-epoch schedule, tail covers both epochs
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "soup_ckpt", os.path.join(repo, "tools", "soup_ckpt.py"))
+    soup_ckpt = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(soup_ckpt)
+    srcs = ",".join(n[: -len(".ckpt.npz")] for n in snaps)
+    soup_ckpt.main(["--srcs", srcs, "--dst", "tail_soup"])
+    assert os.path.isfile("models/tail_soup.ckpt.npz")
