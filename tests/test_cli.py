@@ -284,3 +284,20 @@ def test_train_cli_snapshot_tail(env):
     srcs = ",".join(n[: -len(".ckpt.npz")] for n in snaps)
     soup_ckpt.main(["--srcs", srcs, "--dst", "tail_soup"])
     assert os.path.isfile("models/tail_soup.ckpt.npz")
+
+
+def test_augmentation_cli_scale_levels(env):
+    """--scale_levels adds PIL-bicubic downscaled bases, each dihedral-
+    augmented like the originals (multi-scale augmentation)."""
+    from PIL import Image
+
+    from dcscn_tpu.cli import augmentation
+
+    augmentation.main(["--dataset=tinyset", "--augment_level=4",
+                       "--scale_levels=0.9,0.7"])
+    names = os.listdir("data/tinyset_4")
+    # 2 images x 3 bases (1.0, 0.9, 0.7) x 4 dihedral variants
+    assert len(names) == 2 * 3 * 4
+    # downscale uses the int(dim*scale) PIL convention on 48x48 sources
+    assert Image.open("data/tinyset_4/img0_s90.png").size == (43, 43)
+    assert Image.open("data/tinyset_4/img0_s70.png").size == (33, 33)
