@@ -12,8 +12,8 @@ R=results/r5
 mkdir -p $R
 echo $$ > /tmp/queue_r5c.pid
 
-if [ -f /tmp/queue_r5b.pid ]; then
-  while kill -0 "$(cat /tmp/queue_r5b.pid)" 2>/dev/null; do sleep 60; done
+if [ -f /tmp/queue_r5d.pid ]; then
+  while kill -0 "$(cat /tmp/queue_r5d.pid)" 2>/dev/null; do sleep 60; done
 fi
 
 COMMON="--dataset=combined_8 --test_dataset=set5 --build_batch=True \
