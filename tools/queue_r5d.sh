@@ -33,11 +33,11 @@ EVAL="--test_dataset=all --save_results=False --self_ensemble=8 \
   --tile_size=48 --jit_cache_dir=/root/repo/.jax_cache \
   --initialize_tf_log=False"
 
-echo "[r5d] x4 multi-scale-data L1 fine-tune of the canonical" >&2
+echo "[r5d] x4 multi-scale-data L1 fine-tune of _r5w4" >&2
 MAX_TRIES=4 RECOVER_WAIT=7200 timeout 10800 bash tools/train_resilient.sh \
   $COMMON --scale=4 \
   --model_name=L12_F196to48_Sc4_NIN_A64_PS_R1F32_r5ms4 \
-  --load_model_name=dcscn_L12_F196to48_Sc4_NIN_A64_PS_R1F32 \
+  --load_model_name=dcscn_L12_F196to48_Sc4_NIN_A64_PS_R1F32_r5w4 \
   --log_filename=$R/train_x4ms.log > $R/train_x4ms.out 2>&1
 rc=$?
 if [ $rc -ne 0 ]; then echo "[r5d] x4 ms train FAILED rc=$rc" >> $R/train_x4ms.out; fi
@@ -56,11 +56,28 @@ if [ -n "$SNAPS" ]; then
     --log_filename=$R/eval_x4msw.log > $R/eval_x4msw.out 2>&1
 fi
 
-echo "[r5d] x3 multi-scale-data L1 fine-tune of the canonical" >&2
+
+X3PARENT=$(python - << 'PEOF'
+import re
+def total(path):
+    try:
+        txt = open(path).read()
+    except OSError:
+        return 0.0
+    vals = re.findall(r"Model Average \[(?:set5|set14|bsd100)\] PSNR:([0-9.]+)", txt)
+    return sum(float(v) for v in vals[-3:]) if len(vals) >= 3 else 0.0
+w3 = total("results/r5/eval_x3w.out")
+d3 = total("results/r5/eval_x3d.out")
+print("dcscn_L12_F196to48_Sc3_NIN_A64_PS_R1F32_" + ("r5w3" if w3 > d3 else "r5d3"))
+PEOF
+)
+echo "[r5d] x3 ms parent: $X3PARENT" >&2
+
+echo "[r5d] x3 multi-scale-data L1 fine-tune of $X3PARENT" >&2
 MAX_TRIES=4 RECOVER_WAIT=7200 timeout 10800 bash tools/train_resilient.sh \
   $COMMON --scale=3 \
   --model_name=L12_F196to48_Sc3_NIN_A64_PS_R1F32_r5ms3 \
-  --load_model_name=dcscn_L12_F196to48_Sc3_NIN_A64_PS_R1F32 \
+  --load_model_name=$X3PARENT \
   --log_filename=$R/train_x3ms.log > $R/train_x3ms.out 2>&1
 rc=$?
 if [ $rc -ne 0 ]; then echo "[r5d] x3 ms train FAILED rc=$rc" >> $R/train_x3ms.out; fi
