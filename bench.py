@@ -84,8 +84,12 @@ def main():
                     "'hold_all' keeps every result alive until the end (no "
                     "mid-loop deletion RPCs); 'threads2' splits the "
                     "iterations across two dispatcher threads to overlap "
-                    "the relay's per-dispatch round-trip "
-                    "(tools/bench_protocols.py measures all variants)")
+                    "the relay's per-dispatch round-trip. Measured round 5 "
+                    "(results/r5/bench_protocols.json): rebind 35.2 / "
+                    "hold_all 34.5 / threads2 33.6 / fused 54.7 MP/s — the "
+                    "relay serializes executions regardless, so rebind "
+                    "stays the default and dispatch FUSION (engine "
+                    "ensembles/tiling, --fused_iters) is the real lever")
     ap.add_argument("--jit_cache_dir", type=str, default="/root/repo/.jax_cache")
     ap.add_argument("--train", action="store_true",
                     help="measure TRAINING throughput instead: fused epoch "
