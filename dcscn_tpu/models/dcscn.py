@@ -253,10 +253,17 @@ _DN = ("NHWC", "HWIO", "NHWC")
 
 
 def _conv(x, w, *, groups: int = 1):
+    # f32 operands: request an explicit f32 accumulator. bf16 operands:
+    # let the output stay bf16 — the MXU still accumulates f32 internally,
+    # callers downcast to the compute dtype right after anyway, and a
+    # f32-output conv over bf16 operands is NOT differentiable (the VJP's
+    # transpose rule would pair the f32 cotangent with the bf16 weights,
+    # which lax.conv_general_dilated rejects).
+    pet = jnp.float32 if x.dtype == jnp.float32 else None
     return jax.lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding="SAME",
         dimension_numbers=_DN, feature_group_count=groups,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=pet,
     )
 
 
@@ -416,7 +423,10 @@ def apply(
                 part = jax.lax.dot_general(
                     tap, w[off : off + ci],
                     dimension_numbers=(((3,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                    # same differentiability constraint as _conv: an f32
+                    # accumulator output over bf16 operands breaks the VJP
+                    preferred_element_type=(jnp.float32 if tap.dtype == jnp.float32
+                                            else None),
                 )
                 out = part if out is None else out + part
                 off += ci

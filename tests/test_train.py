@@ -204,3 +204,32 @@ def test_distributed_single_host_noop():
     assert distributed.initialize() is False
     sl = distributed.host_local_batch_slice(16)
     assert sl == slice(0, 16)
+
+
+def test_bf16_train_step_differentiable():
+    """Mixed-precision training (f32 master weights, bf16 activations) must
+    run: with bf16 operands the convs/dots must not request an f32
+    accumulator output, whose VJP pairs an f32 cotangent with bf16 weights
+    and is rejected by lax (caught by the round-5 bf16 A/B)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dcscn_tpu.config import Config
+    from dcscn_tpu.models import dcscn
+    from dcscn_tpu.train import trainer as trainer_mod
+
+    cfg = Config(dtype="bfloat16", layers=3, filters=8, min_filters=4,
+                 nin_filters=8, nin_filters2=4, batch_image_size=16)
+    tr = trainer_mod.Trainer(cfg)
+    assert tr.compute_dtype == jnp.bfloat16
+    params = dcscn.init_params(jax.random.PRNGKey(0), cfg)
+    b, s = cfg.batch_image_size, cfg.scale
+    batch = trainer_mod.Batch(
+        jnp.ones((2, b, b, 1), jnp.float32),
+        jnp.ones((2, b * s, b * s, 1), jnp.float32),
+        jnp.zeros((2, b * s, b * s, 1), jnp.float32))
+    p2, _, _, m = tr._step_impl(params, tr.init_opt_state(params), None,
+                                batch, jax.random.PRNGKey(1))
+    assert jnp.isfinite(m.loss)
+    # master weights stay f32 after the update
+    assert p2["CNN1"]["w"].dtype == jnp.float32
