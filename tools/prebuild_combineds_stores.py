@@ -19,8 +19,9 @@ from dcscn_tpu.config import parse_args  # noqa: E402
 
 
 def main():
+    dataset = sys.argv[1] if len(sys.argv) > 1 else "combineds_8"
     for scale in (4, 3):
-        cfg, _ = parse_args(["--dataset=combineds_8", "--scale=%d" % scale,
+        cfg, _ = parse_args(["--dataset=%s" % dataset, "--scale=%d" % scale,
                              "--build_batch=True"])
         m = api.SuperResolution(cfg)
         m.load_datasets(cfg.data_dir + "/" + cfg.dataset,
