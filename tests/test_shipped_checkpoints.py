@@ -27,7 +27,7 @@ _CKPT_FLOORS = {
     # promotion — a half-trained overwrite of a canonical name must fail CI
     "dcscn_L12_F196to48_NIN_A64_PS_R1F32": 38.58,             # meas 38.835 (r4 L1 ft)
     "dcscn_L12_F196to48_Sc3_NIN_A64_PS_R1F32": 35.29,         # meas 35.544 (r5 multi-scale ft)
-    "dcscn_L12_F196to48_Sc4_NIN_A64_PS_R1F32": 33.35,         # meas 33.603 (r5 multi-scale ft)
+    "dcscn_L12_F196to48_Sc4_NIN_A64_PS_R1F32": 33.39,         # meas 33.638 (r5 full-staircase ms SWA soup)
 }
 
 
